@@ -1,0 +1,660 @@
+"""Filter line-search interior-point method, fully jittable per iteration.
+
+A from-scratch JAX implementation of the algorithm family the reference
+delegates to Ipopt (CPU) and MadNLP (GPU) (reference ext/ glue:
+/root/reference/ext/InfiniteExaModelsIpopt.jl:42-61,
+/root/reference/ext/InfiniteExaModelsMadNLP.jl:43-65).  Design follows the
+condensed-space GPU IPM literature (PAPERS.md): all inequality constraints are
+slacked, equalities are lifted with a tiny bound relaxation, and each Newton
+step reduces to one SPD "condensed" system in x factorized on-chip.
+
+Algorithm skeleton (Waechter-Biegler filter line search, monotone barrier):
+
+  - gradient-based objective/constraint scaling at x0 (gmax = 100)
+  - primal-dual Newton steps from the condensed system
+    K = W + Sigma_x + delta_w + J^T D J
+  - inertia-free regularization: Cholesky retry with delta_w bumping
+  - fraction-to-boundary + filter backtracking line search
+  - Fiacco-McCormick barrier decrease, acceptable-point termination
+
+One IPM iteration is a single jitted function of the solver state; the host
+loop only checks status, wall-clock limits and emits the iteration log.
+Feasibility restoration is not implemented yet; line-search failure currently
+terminates with status ``stalled``.
+"""
+from __future__ import annotations
+
+import time
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .kkt import DenseKKT
+from .results import ExecutionStats
+
+# status codes inside jit
+RUNNING, FIRST_ORDER, ACCEPTABLE, INFEASIBLE, STALLED, DIVERGED, INVALID = \
+    0, 1, 2, 3, 4, 5, 6
+
+_STATUS_NAMES = {
+    FIRST_ORDER: "first_order",
+    ACCEPTABLE: "acceptable",
+    INFEASIBLE: "infeasible",
+    STALLED: "stalled",
+    DIVERGED: "unbounded",
+    INVALID: "invalid_number",
+}
+
+FILTER_SIZE = 128
+
+
+class IpmState(NamedTuple):
+    x: jnp.ndarray          # (n,)
+    s: jnp.ndarray          # (m,)
+    y: jnp.ndarray          # (m,)
+    zl: jnp.ndarray         # (n+m,)
+    zu: jnp.ndarray         # (n+m,)
+    mu: jnp.ndarray
+    tau: jnp.ndarray
+    delta_w_last: jnp.ndarray
+    filter_theta: jnp.ndarray   # (FILTER_SIZE,)
+    filter_phi: jnp.ndarray
+    filter_len: jnp.ndarray
+    iter: jnp.ndarray
+    status: jnp.ndarray
+    acceptable_count: jnp.ndarray
+    small_step_count: jnp.ndarray
+    # logging scalars from the last step
+    log_obj: jnp.ndarray
+    log_inf_pr: jnp.ndarray
+    log_inf_du: jnp.ndarray
+    log_alpha: jnp.ndarray
+    log_alpha_z: jnp.ndarray
+    log_ls: jnp.ndarray
+    log_delta_w: jnp.ndarray
+
+
+DEFAULTS = dict(
+    tol=1e-8,
+    acceptable_tol=1e-6,
+    acceptable_iter=15,
+    max_iter=3000,
+    mu_init=1e-1,
+    s_max=100.0,
+    kappa_epsilon=10.0,
+    kappa_mu=0.2,
+    theta_mu=1.5,
+    tau_min=0.99,
+    gamma_theta=1e-5,
+    gamma_phi=1e-5,
+    delta=1.0,
+    s_theta=1.1,
+    s_phi=2.3,
+    eta_phi=1e-4,
+    kappa_sigma=1e10,
+    kappa_relax=1e-8,       # equality-lifting relaxation (LiftedKKT style)
+    bound_push=1e-2,        # kappa_1/kappa_2
+    bound_frac=1e-2,
+    delta_w_init=1e-4,
+    delta_w_min=1e-20,
+    delta_w_max=1e40,
+    kappa_w_plus_init=100.0,
+    kappa_w_plus=8.0,
+    kappa_w_minus=1.0 / 3.0,
+    delta_c_bar=1e-8,
+    max_backtracks=40,
+    max_reg_tries=30,
+    nlp_scaling_max_gradient=100.0,
+    print_level=5,
+    max_wall_time=1e20,
+    mu_min_fraction=0.1,     # mu floor = tol * this
+    linear_solver="dense",   # "dense" | "block_tridiag" | "auto"
+)
+
+
+def _safe_div(a, b, mask):
+    return jnp.where(mask, a / jnp.where(mask, b, 1.0), 0.0)
+
+
+class IpmSolver:
+    """Interior-point solver over a :class:`SimdModel`.
+
+    ``IpmSolver(model, **options)`` then ``solve()``; ``reset(model)`` +
+    ``solve()`` re-solves reusing compiled kernels (the reference's
+    SolverCore.reset!/resolve pattern, ext/InfiniteExaModelsIpopt.jl:53-61).
+    """
+
+    def __init__(self, model, kkt=None, **options):
+        self.model = model
+        self.opts = dict(DEFAULTS)
+        self.set_options(**options)
+        if kkt is None:
+            kind = self.opts["linear_solver"]
+            if kind in ("dense",):
+                kkt = DenseKKT(model)
+            elif kind in ("block_tridiag", "auto"):
+                from .block_tridiag import make_structured_kkt
+
+                kkt = make_structured_kkt(model, fallback=(kind == "auto"))
+            else:
+                raise ValueError(f"unknown linear_solver {kind!r}")
+        self.kkt = kkt
+        self._step_jit = jax.jit(self._step, donate_argnums=(0,))
+        self._init_jit = jax.jit(self._init_state)
+        self._consts_cache = None
+
+    # options that are runtime values (changing them never retraces)
+    _RUNTIME_OPTS = frozenset({
+        "tol", "acceptable_tol", "acceptable_iter", "mu_init", "max_iter",
+        "max_wall_time", "print_level",
+    })
+
+    def set_options(self, **options):
+        rebuild = False
+        for k, v in options.items():
+            if k not in DEFAULTS:
+                raise ValueError(f"unknown IPM option {k!r}")
+            if self.opts.get(k) != v and k not in self._RUNTIME_OPTS:
+                rebuild = True
+            self.opts[k] = v
+        if rebuild and hasattr(self, "_step_jit"):
+            # algorithmic constants are baked into the trace; re-jit
+            self._step_jit = jax.jit(self._step, donate_argnums=(0,))
+            self._init_jit = jax.jit(self._init_state)
+
+    def reset(self, model=None):
+        """Prepare for a re-solve; model shape must be unchanged so compiled
+        kernels stay valid."""
+        if model is not None and model is not self.model:
+            if (model.nvar != self.model.nvar
+                    or model.ncon != self.model.ncon):
+                raise ValueError("reset with a different-shaped model")
+            self.model = model
+        return self
+
+    # ------------------------------------------------------------------
+    # problem-constant data for one solve
+    # ------------------------------------------------------------------
+    def _make_consts(self, theta):
+        m = self.model
+        o = self.opts
+        dt = m.dtype
+        x0 = m.x0
+        # gradient-based scaling at x0 (Ipopt nlp_scaling_method=gradient-based)
+        gmax = o["nlp_scaling_max_gradient"]
+        g0 = m.grad(x0, theta) * m.sense
+        sf = jnp.minimum(1.0, gmax / jnp.maximum(jnp.max(jnp.abs(g0)), 1e-8))
+        jv0 = m.jac_vals(x0, theta)
+        # per-constraint-row max |J|
+        rowmax = jnp.zeros(m.ncon, dt).at[m.jac_rows].max(jnp.abs(jv0))
+        sc = jnp.minimum(1.0, gmax / jnp.maximum(rowmax, 1e-8))
+
+        lcon = m.lcon * sc
+        ucon = m.ucon * sc
+        # lift equalities / fixed variables by a tiny relaxation
+        kr = o["kappa_relax"]
+        eq = lcon >= ucon - 1e-30
+        relax_c = kr * jnp.maximum(1.0, jnp.abs(lcon))
+        lcon = jnp.where(eq, lcon - relax_c, lcon)
+        ucon = jnp.where(eq, ucon + relax_c, ucon)
+        lvar, uvar = m.lvar, m.uvar
+        fixed = lvar >= uvar - 1e-30
+        relax_x = kr * jnp.maximum(1.0, jnp.abs(lvar))
+        lvar = jnp.where(fixed, lvar - relax_x, lvar)
+        uvar = jnp.where(fixed, uvar + relax_x, uvar)
+
+        lz = jnp.concatenate([lvar, lcon])
+        uz = jnp.concatenate([uvar, ucon])
+        has_l = jnp.isfinite(lz)
+        has_u = jnp.isfinite(uz)
+        return dict(
+            theta=theta, sf=sf, sc=sc, lz=lz, uz=uz,
+            has_l=has_l, has_u=has_u,
+            # runtime (non-baked) options so option changes between resolves
+            # never retrace (the reference exercises exactly this:
+            # test/madnlp.jl tol/mu_init transitions)
+            tol=jnp.asarray(o["tol"], dt),
+            acceptable_tol=jnp.asarray(o["acceptable_tol"], dt),
+            acceptable_iter=jnp.asarray(o["acceptable_iter"], jnp.int32),
+            mu_init=jnp.asarray(o["mu_init"], dt),
+        )
+
+    # -- scaled model evaluations ---------------------------------------
+    def _feval(self, x, c):
+        return self.model.obj(x, c["theta"]) * self.model.sense * c["sf"]
+
+    def _geval(self, x, c):
+        return self.model.grad(x, c["theta"]) * self.model.sense * c["sf"]
+
+    def _ceval(self, x, c):
+        return self.model.cons(x, c["theta"]) * c["sc"]
+
+    def _jvals(self, x, c):
+        return self.model.jac_vals(x, c["theta"]) * c["sc"][self.model.jac_rows]
+
+    # ------------------------------------------------------------------
+    # initialization
+    # ------------------------------------------------------------------
+    def _init_state(self, x0, y0, consts):
+        m = self.model
+        o = self.opts
+        dt = m.dtype
+        n, mm = m.nvar, m.ncon
+        lz, uz = consts["lz"], consts["uz"]
+        has_l, has_u = consts["has_l"], consts["has_u"]
+        k1, k2 = o["bound_push"], o["bound_frac"]
+
+        def push_inside(z, lo, hi, hl, hu):
+            both = hl & hu
+            span = jnp.where(both, hi - lo, 1.0)
+            pl = jnp.where(
+                both,
+                jnp.minimum(k1 * jnp.maximum(1.0, jnp.abs(lo)), k2 * span),
+                k1 * jnp.maximum(1.0, jnp.abs(lo)))
+            pu = jnp.where(
+                both,
+                jnp.minimum(k1 * jnp.maximum(1.0, jnp.abs(hi)), k2 * span),
+                k1 * jnp.maximum(1.0, jnp.abs(hi)))
+            z = jnp.where(hl, jnp.maximum(z, lo + pl), z)
+            z = jnp.where(hu, jnp.minimum(z, hi - pu), z)
+            return z
+
+        x = push_inside(x0, lz[:n], uz[:n], has_l[:n], has_u[:n])
+        c0 = self._ceval(x, consts)
+        s = push_inside(c0, lz[n:], uz[n:], has_l[n:], has_u[n:])
+        z = jnp.concatenate([x, s])
+        zl = jnp.where(has_l, 1.0, 0.0).astype(dt)
+        zu = jnp.where(has_u, 1.0, 0.0).astype(dt)
+        mu = consts["mu_init"]
+        theta0 = jnp.sum(jnp.abs(c0 - s))
+        theta_max = 1e4 * jnp.maximum(1.0, theta0)
+        ft = jnp.full((FILTER_SIZE,), jnp.inf, dt).at[0].set(theta_max)
+        fp = jnp.full((FILTER_SIZE,), -jnp.inf, dt)
+        return IpmState(
+            x=x, s=s, y=y0, zl=zl, zu=zu, mu=mu,
+            tau=jnp.maximum(o["tau_min"], 1.0 - mu),
+            delta_w_last=jnp.zeros((), dt),
+            filter_theta=ft, filter_phi=fp,
+            filter_len=jnp.asarray(1, jnp.int32),
+            iter=jnp.asarray(0, jnp.int32),
+            status=jnp.asarray(RUNNING, jnp.int32),
+            acceptable_count=jnp.asarray(0, jnp.int32),
+            small_step_count=jnp.asarray(0, jnp.int32),
+            log_obj=jnp.zeros((), dt), log_inf_pr=theta0,
+            log_inf_du=jnp.zeros((), dt),
+            log_alpha=jnp.zeros((), dt), log_alpha_z=jnp.zeros((), dt),
+            log_ls=jnp.asarray(0, jnp.int32), log_delta_w=jnp.zeros((), dt),
+        )
+
+    # ------------------------------------------------------------------
+    # residuals
+    # ------------------------------------------------------------------
+    def _kkt_error(self, st, consts, grad, jvals, cval, mu):
+        """(E, inf_pr, inf_du, inf_comp) with Ipopt's s_d/s_c scalings."""
+        m = self.model
+        o = self.opts
+        n = m.nvar
+        z = jnp.concatenate([st.x, st.s])
+        lz, uz = consts["lz"], consts["uz"]
+        has_l, has_u = consts["has_l"], consts["has_u"]
+        jty = m.jtprod(jvals, st.y)
+        rd = jnp.concatenate([grad + jty, -st.y]) - st.zl + st.zu
+        rp = cval - st.s
+        compl_l = jnp.where(has_l, (z - lz) * st.zl - mu, 0.0)
+        compl_u = jnp.where(has_u, (uz - z) * st.zu - mu, 0.0)
+        nb = jnp.sum(has_l) + jnp.sum(has_u)
+        ny = m.ncon
+        smax = o["s_max"]
+        ssum = jnp.sum(jnp.abs(st.y)) + jnp.sum(jnp.abs(st.zl)) + \
+            jnp.sum(jnp.abs(st.zu))
+        sd = jnp.maximum(smax, ssum / jnp.maximum(1, ny + nb)) / smax
+        sc_ = jnp.maximum(smax,
+                          (jnp.sum(jnp.abs(st.zl)) + jnp.sum(jnp.abs(st.zu)))
+                          / jnp.maximum(1, nb)) / smax
+        inf_du = jnp.max(jnp.abs(rd)) if rd.size else jnp.zeros((), z.dtype)
+        inf_pr = (jnp.max(jnp.abs(rp)) if rp.size
+                  else jnp.zeros((), z.dtype))
+        inf_comp = jnp.maximum(
+            jnp.max(jnp.abs(compl_l), initial=0.0),
+            jnp.max(jnp.abs(compl_u), initial=0.0))
+        E = jnp.maximum(jnp.maximum(inf_du / sd, inf_pr), inf_comp / sc_)
+        return E, inf_pr, inf_du, inf_comp
+
+    # ------------------------------------------------------------------
+    # merit pieces
+    # ------------------------------------------------------------------
+    def _phi(self, x, s, fval, consts, mu):
+        z = jnp.concatenate([x, s])
+        lz, uz = consts["lz"], consts["uz"]
+        has_l, has_u = consts["has_l"], consts["has_u"]
+        dl = jnp.where(has_l, z - lz, 1.0)
+        du = jnp.where(has_u, uz - z, 1.0)
+        # log of nonpositive slack -> +inf barrier (trial point rejected)
+        bl = jnp.where(has_l, -jnp.log(dl), 0.0)
+        bu = jnp.where(has_u, -jnp.log(du), 0.0)
+        return fval + mu * (jnp.sum(bl) + jnp.sum(bu))
+
+    # ------------------------------------------------------------------
+    # one IPM iteration
+    # ------------------------------------------------------------------
+    def _step(self, st: IpmState, consts):
+        m = self.model
+        o = self.opts
+        dt = m.dtype
+        n, mm = m.nvar, m.ncon
+        lz, uz = consts["lz"], consts["uz"]
+        has_l, has_u = consts["has_l"], consts["has_u"]
+        tol = consts["tol"]
+
+        fval = self._feval(st.x, consts)
+        grad = self._geval(st.x, consts)
+        cval = self._ceval(st.x, consts)
+        jvals = self._jvals(st.x, consts)
+
+        # -- convergence -------------------------------------------------
+        E0, inf_pr, inf_du, _ = self._kkt_error(
+            st, consts, grad, jvals, cval, jnp.zeros((), dt))
+        converged = E0 <= tol
+        acc_now = E0 <= consts["acceptable_tol"]
+        acceptable_count = jnp.where(acc_now, st.acceptable_count + 1, 0)
+        acc_done = acceptable_count >= consts["acceptable_iter"]
+        bad = ~jnp.isfinite(E0)
+        diverged = (jnp.abs(fval) > 1e20) | (jnp.max(jnp.abs(st.x)) > 1e20)
+
+        status = jnp.where(
+            converged, FIRST_ORDER,
+            jnp.where(bad, INVALID,
+                      jnp.where(diverged, DIVERGED,
+                                jnp.where(acc_done, ACCEPTABLE, RUNNING))))
+
+        # -- barrier update (may fire repeatedly) -------------------------
+        def mu_cond(val):
+            mu, tau, flen, ftheta, fphi = val
+            E_mu, *_ = self._kkt_error(st, consts, grad, jvals, cval, mu)
+            mu_floor = tol * o["mu_min_fraction"]
+            return (E_mu <= o["kappa_epsilon"] * mu) & (mu > mu_floor)
+
+        def mu_body(val):
+            mu, tau, flen, ftheta, fphi = val
+            mu_new = jnp.maximum(
+                tol * o["mu_min_fraction"],
+                jnp.minimum(o["kappa_mu"] * mu, mu ** o["theta_mu"]))
+            tau_new = jnp.maximum(o["tau_min"], 1.0 - mu_new)
+            # reset filter to the theta_max entry only
+            ftheta_new = jnp.full_like(ftheta, jnp.inf).at[0].set(ftheta[0])
+            fphi_new = jnp.full_like(fphi, -jnp.inf)
+            return (mu_new, tau_new, jnp.asarray(1, jnp.int32),
+                    ftheta_new, fphi_new)
+
+        mu, tau, filter_len, filter_theta, filter_phi = jax.lax.while_loop(
+            mu_cond, mu_body,
+            (st.mu, st.tau, st.filter_len, st.filter_theta, st.filter_phi))
+
+        # -- barrier-scaled quantities ------------------------------------
+        z = jnp.concatenate([st.x, st.s])
+        dl = jnp.where(has_l, z - lz, 1.0)
+        du = jnp.where(has_u, uz - z, 1.0)
+        sig_l = jnp.where(has_l, st.zl / dl, 0.0)
+        sig_u = jnp.where(has_u, st.zu / du, 0.0)
+        sigma = sig_l + sig_u                       # (n+m,)
+        mu_dl = jnp.where(has_l, mu / dl, 0.0)
+        mu_du = jnp.where(has_u, mu / du, 0.0)
+
+        jty = m.jtprod(jvals, st.y)
+        rx = grad + jty - mu_dl[:n] + mu_du[:n]
+        rs = -st.y - mu_dl[n:] + mu_du[n:]
+        rp = cval - st.s
+
+        # -- condensed system with inertia-free regularization ------------
+        sigma_x, sigma_s = sigma[:n], sigma[n:]
+
+        def make_step(delta_w, delta_c):
+            inv_ss = 1.0 / (sigma_s + delta_w)
+            D = 1.0 / (inv_ss + delta_c)
+            rhs2 = rp + inv_ss * rs
+            rhs = -(rx + m.jtprod(jvals, D * rhs2))
+            diag_extra = sigma_x + delta_w
+            # model-side values are for UNSCALED f and c: fold scalings in
+            # (internal y multiplies scaled c_i = sc_i*c_i; scaled J = sc*J)
+            sc = consts["sc"]
+            K = self.kkt.assemble(st.x, consts["theta"],
+                                  st.y * sc,
+                                  consts["sf"] * m.sense,
+                                  D * sc * sc, diag_extra)
+            fac, ok = self.kkt.factor(K)
+            dx = self.kkt.solve(fac, rhs)
+            ok = ok & jnp.all(jnp.isfinite(dx))
+            dy = D * (m.jprod(jvals, dx) + rhs2)
+            ds = inv_ss * (dy - rs)
+            return dx, ds, dy, ok
+
+        def reg_cond(val):
+            _, _, _, ok, tries, _ = val
+            return (~ok) & (tries < o["max_reg_tries"])
+
+        def reg_body(val):
+            dxdsdy0, dw, dc, ok, tries, dw_used = val
+            dw_new = jnp.where(
+                dw == 0.0,
+                jnp.where(st.delta_w_last == 0.0, o["delta_w_init"],
+                          jnp.maximum(o["delta_w_min"],
+                                      o["kappa_w_minus"] * st.delta_w_last)),
+                dw * jnp.where(st.delta_w_last == 0.0,
+                               o["kappa_w_plus_init"], o["kappa_w_plus"]))
+            dc_new = o["delta_c_bar"] * mu ** 0.25
+            dx, ds, dy, ok = make_step(dw_new, dc_new)
+            return (dx, ds, dy), dw_new, dc_new, ok, tries + 1, dw_new
+
+        dx0, ds0, dy0, ok0 = make_step(jnp.zeros((), dt), jnp.zeros((), dt))
+        (dx, ds, dy), dw_f, dc_f, ok_f, _, dw_used = jax.lax.while_loop(
+            reg_cond, reg_body,
+            ((dx0, ds0, dy0), jnp.zeros((), dt), jnp.zeros((), dt), ok0,
+             jnp.asarray(0, jnp.int32), jnp.zeros((), dt)))
+
+        dz = jnp.concatenate([dx, ds])
+        # dual directions from complementarity linearization
+        acl = jnp.where(has_l, dl * st.zl - mu, 0.0)
+        acu = jnp.where(has_u, du * st.zu - mu, 0.0)
+        dzl = jnp.where(has_l, -sig_l * dz - acl / dl, 0.0)
+        dzu = jnp.where(has_u, sig_u * dz - acu / du, 0.0)
+
+        # -- fraction to boundary ----------------------------------------
+        neg = dz < 0
+        pos = dz > 0
+        a_l = jnp.where(has_l & neg, -tau * dl / jnp.where(neg, dz, -1.0), jnp.inf)
+        a_u = jnp.where(has_u & pos, tau * du / jnp.where(pos, dz, 1.0), jnp.inf)
+        alpha_max = jnp.minimum(1.0, jnp.minimum(jnp.min(a_l, initial=jnp.inf),
+                                                 jnp.min(a_u, initial=jnp.inf)))
+        negl = dzl < 0
+        negu = dzu < 0
+        a_zl = jnp.where(has_l & negl,
+                         -tau * st.zl / jnp.where(negl, dzl, -1.0), jnp.inf)
+        a_zu = jnp.where(has_u & negu,
+                         -tau * st.zu / jnp.where(negu, dzu, -1.0), jnp.inf)
+        alpha_z = jnp.minimum(1.0, jnp.minimum(jnp.min(a_zl, initial=jnp.inf),
+                                               jnp.min(a_zu, initial=jnp.inf)))
+
+        # -- filter line search ------------------------------------------
+        theta_c = jnp.sum(jnp.abs(rp))
+        phi_c = self._phi(st.x, st.s, fval, consts, mu)
+        gphi_x = grad - mu_dl[:n] + mu_du[:n]
+        gphi_s = -mu_dl[n:] + mu_du[n:]
+        dphi = jnp.dot(gphi_x, dx) + jnp.dot(gphi_s, ds)
+
+        def trial(alpha):
+            xt = st.x + alpha * dx
+            stt = st.s + alpha * ds
+            ft = self._feval(xt, consts)
+            ct = self._ceval(xt, consts)
+            theta_t = jnp.sum(jnp.abs(ct - stt))
+            phi_t = self._phi(xt, stt, ft, consts, mu)
+            return theta_t, phi_t
+
+        gt, gp = o["gamma_theta"], o["gamma_phi"]
+
+        def acceptable_to_filter(theta_t, phi_t):
+            # filter entries are stored WITH their margins applied
+            # ((1-gt)*theta_k, phi_k - gp*theta_k), so the test is raw
+            idx = jnp.arange(FILTER_SIZE)
+            active = idx < filter_len
+            dominated = active & (theta_t >= filter_theta) & \
+                (phi_t >= filter_phi)
+            return ~jnp.any(dominated)
+
+        def ls_cond(val):
+            alpha, accepted, ls_iters, *_ = val
+            return (~accepted) & (ls_iters < o["max_backtracks"])
+
+        def ls_body(val):
+            alpha, accepted, ls_iters, _, _, _ = val
+            theta_t, phi_t = trial(alpha)
+            finite = jnp.isfinite(theta_t) & jnp.isfinite(phi_t)
+            in_filter = acceptable_to_filter(theta_t, phi_t)
+            switching = (dphi < 0) & \
+                (alpha * (-dphi) ** o["s_phi"] >
+                 o["delta"] * theta_c ** o["s_theta"])
+            armijo = phi_t <= phi_c + o["eta_phi"] * alpha * dphi
+            progress = (theta_t <= (1 - gt) * theta_c) | \
+                (phi_t <= phi_c - gp * theta_c)
+            acc = finite & in_filter & jnp.where(switching, armijo, progress)
+            return (jnp.where(acc, alpha, alpha * 0.5), acc, ls_iters + 1,
+                    theta_t, phi_t, switching & armijo)
+
+        alpha, accepted, ls_iters, theta_t, phi_t, f_type = jax.lax.while_loop(
+            ls_cond, ls_body,
+            (alpha_max, jnp.asarray(False), jnp.asarray(0, jnp.int32),
+             theta_c, phi_c, jnp.asarray(False)))
+
+        # augment filter unless the accepted step was an f-type (Armijo) step
+        add_to_filter = accepted & ~f_type
+        slot = jnp.minimum(filter_len, FILTER_SIZE - 1)
+        filter_theta = jnp.where(
+            add_to_filter,
+            filter_theta.at[slot].set((1 - gt) * theta_c), filter_theta)
+        filter_phi = jnp.where(
+            add_to_filter,
+            filter_phi.at[slot].set(phi_c - gp * theta_c), filter_phi)
+        filter_len = jnp.where(add_to_filter,
+                               jnp.minimum(filter_len + 1, FILTER_SIZE),
+                               filter_len)
+
+        # -- updates ------------------------------------------------------
+        x_new = st.x + alpha * dx
+        s_new = st.s + alpha * ds
+        y_new = st.y + alpha * dy
+        zl_new = st.zl + alpha_z * dzl
+        zu_new = st.zu + alpha_z * dzu
+        z_new = jnp.concatenate([x_new, s_new])
+        dln = jnp.where(has_l, z_new - lz, 1.0)
+        dun = jnp.where(has_u, uz - z_new, 1.0)
+        ks = o["kappa_sigma"]
+        zl_new = jnp.where(has_l,
+                           jnp.clip(zl_new, mu / (ks * dln), ks * mu / dln),
+                           0.0)
+        zu_new = jnp.where(has_u,
+                           jnp.clip(zu_new, mu / (ks * dun), ks * mu / dun),
+                           0.0)
+
+        # small-step detection
+        step_sz = alpha * jnp.max(jnp.abs(dz) / (1.0 + jnp.abs(z)),
+                                  initial=0.0)
+        small = step_sz < 10 * jnp.finfo(dt).eps
+        small_count = jnp.where(small, st.small_step_count + 1, 0)
+        status = jnp.where((status == RUNNING) & ~accepted, STALLED, status)
+        status = jnp.where((status == RUNNING) & (small_count >= 3),
+                           STALLED, status)
+
+        stop = status != RUNNING
+        keep = lambda new, old: jnp.where(stop, old, new)
+
+        return IpmState(
+            x=keep(x_new, st.x), s=keep(s_new, st.s), y=keep(y_new, st.y),
+            zl=keep(zl_new, st.zl), zu=keep(zu_new, st.zu),
+            mu=mu, tau=tau,
+            delta_w_last=jnp.where(dw_used > 0, dw_used, st.delta_w_last),
+            filter_theta=filter_theta, filter_phi=filter_phi,
+            filter_len=filter_len,
+            iter=st.iter + jnp.where(stop, 0, 1),
+            status=status,
+            acceptable_count=acceptable_count,
+            small_step_count=small_count,
+            log_obj=fval, log_inf_pr=inf_pr, log_inf_du=inf_du,
+            log_alpha=alpha, log_alpha_z=alpha_z, log_ls=ls_iters,
+            log_delta_w=dw_used,
+        )
+
+    # ------------------------------------------------------------------
+    # host driver
+    # ------------------------------------------------------------------
+    def solve(self, x0=None, y0=None, stats=None, **options):
+        if options:
+            self.set_options(**options)
+        o = self.opts
+        m = self.model
+        t_start = time.time()
+        theta = m.theta
+        consts = self._make_consts(theta)
+        x0 = m.x0 if x0 is None else jnp.asarray(x0, m.dtype)
+        y0 = m.y0 if y0 is None else jnp.asarray(y0, m.dtype)
+        # internal y is for the scaled problem: y_scaled = y_user*sf/sc*sense
+        y0s = y0 * m.sense * consts["sf"] / consts["sc"]
+        st = self._init_jit(x0, y0s, consts)
+        timers = {"build": np.nan, "step_total": 0.0}
+        status = "max_iter"
+        verbose = o["print_level"] >= 5
+        if verbose:
+            print("iter    objective    inf_pr   inf_du     mu    "
+                  "alpha  alpha_z  ls")
+        it = 0
+        while it < o["max_iter"]:
+            t0 = time.time()
+            st = self._step_jit(st, consts)
+            code = int(st.status)
+            it = int(st.iter)
+            timers["step_total"] += time.time() - t0
+            if verbose:
+                print(f"{it:4d} {float(st.log_obj)/float(consts['sf'])* m.sense: .7e} "
+                      f"{float(st.log_inf_pr):8.2e} {float(st.log_inf_du):8.2e} "
+                      f"{float(st.mu):7.1e} {float(st.log_alpha):6.4f} "
+                      f"{float(st.log_alpha_z):6.4f} {int(st.log_ls):3d}")
+            if code != RUNNING:
+                status = _STATUS_NAMES[code]
+                break
+            if time.time() - t_start > o["max_wall_time"]:
+                status = "max_time"
+                break
+        solve_time = time.time() - t_start
+
+        x = np.asarray(st.x)
+        sf = float(consts["sf"])
+        sc = np.asarray(consts["sc"])
+        fobj = float(m.obj(st.x, theta))
+        y_user = np.asarray(st.y) * sc / sf * m.sense
+        zl = np.asarray(st.zl)[:m.nvar] / sf * m.sense
+        zu = np.asarray(st.zu)[:m.nvar] / sf * m.sense
+        res = ExecutionStats(
+            status=status,
+            objective=fobj,
+            solution=x,
+            multipliers=y_user,
+            multipliers_L=zl,
+            multipliers_U=zu,
+            iter=it,
+            solve_time=solve_time,
+            primal_feas=float(st.log_inf_pr),
+            dual_feas=float(st.log_inf_du),
+            timers=timers,
+        )
+        self.results = res
+        return res
+
+
+# MadNLP-flavored alias: the GPU-style solver entry point the backend exposes
+# (reference ext/InfiniteExaModelsMadNLP.jl); identical algorithm, structured
+# KKT by default.
+class MadIpmSolver(IpmSolver):
+    def __init__(self, model, kkt=None, **options):
+        options.setdefault("linear_solver", "auto")
+        super().__init__(model, kkt=kkt, **options)

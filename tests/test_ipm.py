@@ -1,0 +1,108 @@
+"""IPM correctness on classic NLPs (oracle values from the literature)."""
+import numpy as np
+import pytest
+
+from infiniteexamodels_jl_tpu.ops import Core, Iterator, SRC, abs2
+from infiniteexamodels_jl_tpu.solvers import IpmSolver
+
+
+def solve(core, **opts):
+    m = core.build()
+    opts.setdefault("print_level", 0)
+    return IpmSolver(m, **opts).solve(), m
+
+
+def test_bound_qp():
+    core = Core()
+    x = core.add_var((), uvar=1.0, name="x")
+    core.add_obj(abs2(x.entry() - 2.0))
+    res, m = solve(core)
+    assert res.status == "first_order"
+    assert res.solution[0] == pytest.approx(1.0, abs=1e-7)
+    assert res.objective == pytest.approx(1.0, abs=1e-7)
+
+
+def test_rosenbrock_unconstrained():
+    core = Core()
+    v = core.add_var((2,), start=np.array([-1.2, 1.0]), name="v")
+    core.add_obj(100.0 * abs2(v[1] - abs2(v[0])) + abs2(1.0 - v[0]))
+    res, m = solve(core)
+    assert res.status == "first_order"
+    np.testing.assert_allclose(res.solution, [1.0, 1.0], atol=1e-6)
+
+
+def test_hs071():
+    core = Core()
+    x = core.add_var((4,), lvar=1.0, uvar=5.0,
+                     start=np.array([1.0, 5.0, 5.0, 1.0]), name="x")
+    core.add_obj(x[0] * x[3] * (x[0] + x[1] + x[2]) + x[2])
+    core.add_con(x[0] * x[1] * x[2] * x[3], lcon=25.0, ucon=np.inf)
+    core.add_con(abs2(x[0]) + abs2(x[1]) + abs2(x[2]) + abs2(x[3]),
+                 lcon=40.0, ucon=40.0)
+    res, m = solve(core)
+    assert res.status == "first_order"
+    assert res.objective == pytest.approx(17.0140173, abs=1e-5)
+    np.testing.assert_allclose(
+        res.solution, [1.0, 4.7429994, 3.8211503, 1.3794082], atol=1e-5)
+
+
+def test_maximize():
+    core = Core(minimize=False)
+    x = core.add_var((), lvar=0.0, uvar=4.0, name="x")
+    core.add_obj(x.entry() * (4.0 - x.entry()))
+    res, m = solve(core)
+    assert res.status == "first_order"
+    assert res.solution[0] == pytest.approx(2.0, abs=1e-6)
+    assert res.objective == pytest.approx(4.0, abs=1e-6)
+
+
+def test_equality_lp():
+    # min x + y  s.t.  x + 2y == 3, x >= 0, y >= 0
+    core = Core()
+    x = core.add_var((), lvar=0.0, name="x")
+    y = core.add_var((), lvar=0.0, name="y")
+    core.add_obj(x.entry() + y.entry())
+    core.add_con(x.entry() + 2.0 * y.entry(), lcon=3.0, ucon=3.0)
+    res, m = solve(core)
+    assert res.status == "first_order"
+    assert res.objective == pytest.approx(1.5, abs=1e-6)
+    np.testing.assert_allclose(res.solution, [0.0, 1.5], atol=1e-6)
+
+
+def test_simd_family_problem():
+    # a small OCP-like batched problem:
+    # min sum_i (x_i - 1)^2  s.t. x_i - x_{i-1} <= 0.3, x_0 == 0
+    core = Core()
+    n = 8
+    x = core.add_var((n,), name="x")
+    itr = Iterator({"i": np.arange(1, n)})
+    core.add_con(x[SRC.i] - x[SRC.i - 1], itr, lcon=-np.inf, ucon=0.3)
+    core.add_con(x[0], lcon=0.0, ucon=0.0)
+    obj_itr = Iterator({"i": np.arange(n)})
+    core.add_obj(abs2(x[SRC.i] - 1.0), obj_itr)
+    res, m = solve(core)
+    assert res.status == "first_order"
+    expected = np.minimum(np.arange(n) * 0.3, 1.0)
+    np.testing.assert_allclose(res.solution, expected, atol=1e-6)
+
+
+def test_warmstart_fewer_iters():
+    def build():
+        core = Core()
+        x = core.add_var((4,), lvar=1.0, uvar=5.0,
+                         start=np.array([1.0, 5.0, 5.0, 1.0]), name="x")
+        core.add_obj(x[0] * x[3] * (x[0] + x[1] + x[2]) + x[2])
+        core.add_con(x[0] * x[1] * x[2] * x[3], lcon=25.0, ucon=np.inf)
+        core.add_con(abs2(x[0]) + abs2(x[1]) + abs2(x[2]) + abs2(x[3]),
+                     lcon=40.0, ucon=40.0)
+        return core.build()
+
+    m = build()
+    s = IpmSolver(m, print_level=0)
+    cold = s.solve()
+    m.set_x0(cold.solution)
+    m.set_y0(cold.multipliers)
+    warm = s.reset().solve(mu_init=1e-7)
+    assert warm.status == "first_order"
+    assert warm.iter < cold.iter
+    assert warm.objective == pytest.approx(cold.objective, abs=1e-6)
