@@ -263,6 +263,17 @@ class Core:
                               (par.length,))
         self._theta_parts[par.pid][:] = arr
 
+    def set_x0_flat(self, values):
+        """Overwrite the full flat start vector (warm starts, reference
+        NLPModels.get_x0 copyto! at infiniteopt_backend.jl:600)."""
+        arr = np.asarray(values, dtype=np.float64)
+        if arr.shape != (self.nvar,):
+            raise ValueError(f"x0 shape {arr.shape} != ({self.nvar},)")
+        pos = 0
+        for part in self._x0_parts:
+            part[:] = arr[pos:pos + len(part)]
+            pos += len(part)
+
     def build(self, dtype=None, device=None):
         from .model import SimdModel
 

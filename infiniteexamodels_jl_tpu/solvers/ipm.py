@@ -193,20 +193,18 @@ class IpmSolver:
 
         lcon = m.lcon * sc
         ucon = m.ucon * sc
-        # lift equalities / fixed variables by a tiny relaxation
+        lz = jnp.concatenate([m.lvar, lcon])
+        uz = jnp.concatenate([m.uvar, ucon])
+        # Ipopt-style bound_relax_factor: every finite bound is relaxed
+        # outward by kr*max(1,|b|).  This both lifts equalities/fixed
+        # variables (LiftedKKT-style, so the condensed system stays regular)
+        # and reproduces the solver-reported objectives of the reference
+        # oracle values, which embed exactly this perturbation.
         kr = o["kappa_relax"]
-        eq = lcon >= ucon - 1e-30
-        relax_c = kr * jnp.maximum(1.0, jnp.abs(lcon))
-        lcon = jnp.where(eq, lcon - relax_c, lcon)
-        ucon = jnp.where(eq, ucon + relax_c, ucon)
-        lvar, uvar = m.lvar, m.uvar
-        fixed = lvar >= uvar - 1e-30
-        relax_x = kr * jnp.maximum(1.0, jnp.abs(lvar))
-        lvar = jnp.where(fixed, lvar - relax_x, lvar)
-        uvar = jnp.where(fixed, uvar + relax_x, uvar)
-
-        lz = jnp.concatenate([lvar, lcon])
-        uz = jnp.concatenate([uvar, ucon])
+        lz = jnp.where(jnp.isfinite(lz),
+                       lz - kr * jnp.maximum(1.0, jnp.abs(lz)), lz)
+        uz = jnp.where(jnp.isfinite(uz),
+                       uz + kr * jnp.maximum(1.0, jnp.abs(uz)), uz)
         has_l = jnp.isfinite(lz)
         has_u = jnp.isfinite(uz)
         return dict(
