@@ -214,7 +214,7 @@ class ExaTranscriptionBackend:
             par = d._get(d.param_map, ref)
             if par is None:
                 return ref.value
-            return float(self.model.theta_view(par))
+            return float(np.asarray(self.model.theta_view(par)).reshape(-1)[0])
         if isinstance(ref, ParameterFunctionRef):
             par = d._get(d.param_map, ref)
             return np.asarray(self.model.theta_view(par))
