@@ -1,0 +1,127 @@
+"""Minimal MATPOWER ``.m`` case parser + network data preparation.
+
+Replaces the reference's PowerModels.jl usage (ESCAPE34/opf.jl:7-34:
+parse_file, standardize_cost_terms!, calc_thermal_limits!, build_ref).
+Parses the mpc.bus/gen/branch/gencost matrices and derives the arc/admittance
+quantities the AC-OPF formulation needs.
+"""
+from __future__ import annotations
+
+import math
+import re
+
+
+def _parse_matrix(text, name):
+    mstart = re.search(rf"mpc\.{name}\s*=\s*\[", text)
+    if mstart is None:
+        return []
+    body = text[mstart.end():]
+    body = body[:body.index("]")]
+    rows = []
+    for line in body.splitlines():
+        line = line.split("%")[0].strip().rstrip(";")
+        if not line:
+            continue
+        rows.append([float(v) for v in line.replace(",", " ").split()])
+    return rows
+
+
+def parse_matpower(text):
+    """Parse a MATPOWER case string -> dict of raw tables + baseMVA."""
+    base = re.search(r"mpc\.baseMVA\s*=\s*([\d.eE+-]+)", text)
+    return {
+        "baseMVA": float(base.group(1)) if base else 100.0,
+        "bus": _parse_matrix(text, "bus"),
+        "gen": _parse_matrix(text, "gen"),
+        "branch": _parse_matrix(text, "branch"),
+        "gencost": _parse_matrix(text, "gencost"),
+    }
+
+
+def build_ref(case):
+    """Derive the network reference structure (PowerModels build_ref
+    analogue): per-unit loads/limits, branch admittances, tap ratios, arcs,
+    bus incidence maps."""
+    baseMVA = case["baseMVA"]
+    buses, gens, branches = {}, {}, {}
+    ref_buses = []
+    for row in case["bus"]:
+        i = int(row[0])
+        buses[i] = dict(
+            bus_type=int(row[1]), pd=row[2] / baseMVA, qd=row[3] / baseMVA,
+            gs=row[4] / baseMVA, bs=row[5] / baseMVA,
+            vmax=row[11], vmin=row[12])
+        if int(row[1]) == 3:
+            ref_buses.append(i)
+    for gi, row in enumerate(case["gen"], start=1):
+        cost = case["gencost"][gi - 1] if gi - 1 < len(case["gencost"]) \
+            else [2, 0, 0, 3, 0, 1, 0]
+        ncost = int(cost[3])
+        coeffs = cost[4:4 + ncost]
+        # standardize to quadratic (c2, c1, c0) in per-unit MW
+        c = [0.0] * (3 - len(coeffs)) + list(coeffs)
+        c2, c1, c0 = c[-3], c[-2], c[-1]
+        gens[gi] = dict(
+            bus=int(row[0]),
+            pmax=row[8] / baseMVA, pmin=row[9] / baseMVA,
+            qmax=row[3] / baseMVA, qmin=row[4] / baseMVA,
+            cost=(c2 * baseMVA**2, c1 * baseMVA, c0))
+    arcs = []
+    for li, row in enumerate(case["branch"], start=1):
+        f, t_ = int(row[0]), int(row[1])
+        r, x, bch = row[2], row[3], row[4]
+        rate_a = row[5] / baseMVA if row[5] > 0 else 2.0
+        ratio = row[8] if row[8] != 0 else 1.0
+        shift = math.radians(row[9])
+        y2 = r * r + x * x
+        g, b = r / y2, -x / y2
+        tr, ti = ratio * math.cos(shift), ratio * math.sin(shift)
+        branches[li] = dict(
+            f_bus=f, t_bus=t_, g=g, b=b, tr=tr, ti=ti,
+            ttm=tr * tr + ti * ti,
+            g_fr=0.0, b_fr=bch / 2.0, g_to=0.0, b_to=bch / 2.0,
+            rate_a=rate_a,
+            angmin=math.radians(row[11] if row[11] != 0 else -60.0),
+            angmax=math.radians(row[12] if row[12] != 0 else 60.0))
+        arcs.append((li, f, t_))
+        arcs.append((li, t_, f))
+    bus_arcs = {i: [] for i in buses}
+    for a in arcs:
+        bus_arcs[a[1]].append(a)
+    bus_gens = {i: [] for i in buses}
+    for gi, g in gens.items():
+        bus_gens[g["bus"]].append(gi)
+    return dict(baseMVA=baseMVA, bus=buses, gen=gens, branch=branches,
+                arcs=arcs, bus_arcs=bus_arcs, bus_gens=bus_gens,
+                ref_buses=ref_buses)
+
+
+# A 3-bus case with the pglib_opf_case3_lmbd schema.  The true pglib file is
+# fetched over the network by the reference (ESCAPE34/opf.jl:13-21); this
+# environment has no egress, so a synthetic triangle network with the same
+# structure stands in (3 buses, 3 generators, 3 branches, quadratic costs).
+CASE3 = """
+function mpc = case3
+mpc.version = '2';
+mpc.baseMVA = 100.0;
+mpc.bus = [
+    1  3  110.0  40.0  0.0  0.0  1  1.0  0.0  240.0  1  1.1  0.9;
+    2  2  110.0  40.0  0.0  0.0  1  1.0  0.0  240.0  1  1.1  0.9;
+    3  2  95.0   50.0  0.0  0.0  1  1.0  0.0  240.0  1  1.1  0.9;
+];
+mpc.gen = [
+    1  150.0  0.0  100.0  -100.0  1.0  100.0  1  200.0  0.0;
+    2  100.0  0.0  100.0  -100.0  1.0  100.0  1  150.0  0.0;
+    3  80.0   0.0  100.0  -100.0  1.0  100.0  1  120.0  0.0;
+];
+mpc.branch = [
+    1  2  0.065  0.62  0.45  90.0  0.0  0.0  0.0  0.0  1  -30.0  30.0;
+    2  3  0.025  0.75  0.70  50.0  0.0  0.0  0.0  0.0  1  -30.0  30.0;
+    1  3  0.042  0.90  0.30  70.0  0.0  0.0  0.0  0.0  1  -30.0  30.0;
+];
+mpc.gencost = [
+    2  0.0  0.0  3  0.11  5.0  0.0;
+    2  0.0  0.0  3  0.085  1.2  0.0;
+    2  0.0  0.0  3  0.1225  1.0  0.0;
+];
+"""

@@ -1,27 +1,300 @@
-"""Structured condensed-KKT backends (block-tridiagonal + arrowhead).
+"""Structured condensed-KKT backend: block-tridiagonal + dense arrowhead.
 
-Transcribed problems have two dominant KKT structures (SURVEY.md §5,§7):
-time-stencil coupling -> block-tridiagonal; scenario coupling through
-first-stage variables -> block-diagonal + arrowhead.  Both are special cases
-of "block-tridiagonal T plus dense border B/C":
+Transcribed problems have two dominant KKT structures (SURVEY.md §5, §7):
+time-stencil coupling -> block-banded; scenario coupling through first-stage
+variables -> block-diagonal + arrowhead border.  Both are instances of
 
-    K = [ T   B ]      T: (nb, bs, bs) diag + (nb-1, bs, bs) lower blocks
-        [ B^T C ]      B: (nb*bs, nb2), C: (nb2, nb2)
+    K = [ T    B ]   T: block-tridiagonal, nb blocks of size bs
+        [ B^T  C ]   B: (nT, m) border, C: (m, m) dense corner
 
-factorized as blocked Cholesky of T (lax.scan over blocks; dense per-block
-ops on the MXU) followed by a dense Schur complement for the border.
+The reference pipeline hands this structure to CUDSS/MA27 as a general
+sparse matrix (README.md:36-41); the TPU-native design instead *recovers*
+the structure once at build time -- high-degree variables become the border,
+reverse-Cuthill-McKee orders the rest into a small bandwidth -- and then
+factorizes with dense per-block kernels that XLA maps onto the MXU:
 
-NOTE round 1 ships the interface with a dense fallback; the scan-based
-factorization lands next.
+  factor:  scan_i [ Ltil_i = L_i solve(chol(D_{i-1}))^T ;
+                    chol(D_i - Ltil_i Ltil_i^T) ]
+  border:  Y = L_T^{-1} B (forward scan), S = C - Y^T Y, chol(S)
+  solve:   two scans over T plus a dense Schur solve for the border
+
+Everything is static-shape; assembly is a handful of scatter-adds from the
+per-family COO values (the same `kkt_vals` stream the dense backend uses).
 """
 from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
 
 from .kkt import DenseKKT
 
 
-def make_structured_kkt(model, fallback=True):
-    # TODO(round 1, later pass): detect block-tridiagonal ordering from the
-    # hessian pattern + variable metadata and return the structured backend.
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+class BlockTridiagKKT:
+    """Structured condensed-KKT backend.  Build-time analysis happens once;
+    per-iteration work is scatter-add assembly + scan factorization."""
+
+    def __init__(self, model, max_block=512, min_blocks=4, max_border=4096):
+        self.model = model
+        n = model.nvar
+        rows = model.hess_rows_np
+        cols = model.hess_cols_np
+
+        import scipy.sparse as sp
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        adj = sp.coo_matrix(
+            (np.ones(len(rows)), (rows, cols)), shape=(n, n)).tocsr()
+        adj.sum_duplicates()
+        deg = np.diff(adj.indptr)
+
+        # border = unusually high-degree variables (first-stage coupling)
+        med = max(int(np.median(deg)), 1)
+        thresh = max(8 * med, 32)
+        border_mask = deg > thresh
+        if border_mask.sum() > max_border:
+            order = np.argsort(deg)[::-1]
+            border_mask = np.zeros(n, bool)
+            border_mask[order[:max_border]] = True
+        t_mask = ~border_mask
+        t_ids = np.nonzero(t_mask)[0]
+        b_ids = np.nonzero(border_mask)[0]
+        nT, mB = len(t_ids), len(b_ids)
+
+        # RCM on the T-subgraph
+        sub = adj[t_ids][:, t_ids]
+        perm = reverse_cuthill_mckee(sub, symmetric_mode=True)
+        t_order = t_ids[perm]                  # T position -> var id
+        pos = np.full(n, -1, dtype=np.int64)
+        pos[t_order] = np.arange(nT)
+        bpos = np.full(n, -1, dtype=np.int64)
+        bpos[b_ids] = np.arange(mB)
+
+        # bandwidth of the permuted T-subgraph
+        rr, cc = rows, cols
+        tt = t_mask[rr] & t_mask[cc]
+        bw = int(np.max(np.abs(pos[rr[tt]] - pos[cc[tt]]), initial=0))
+
+        bs = _round_up(max(bw, 1) + 1, 8)
+        nb = max((nT + bs - 1) // bs, 1)
+        self.usable = nT > 0 and bs <= max_block and nb >= min_blocks
+        self.n, self.nT, self.mB, self.bs, self.nb = n, nT, mB, bs, nb
+        if not self.usable:
+            return
+
+        nTpad = nb * bs
+        # -- entry classification (static) -------------------------------
+        pr, pc = pos[rr], pos[cc]
+        blk_r, blk_c = pr // bs, pc // bs
+        off_r, off_c = pr % bs, pc % bs
+
+        selD = np.nonzero(tt & (blk_r == blk_c))[0]
+        selL = np.nonzero(tt & (blk_r == blk_c + 1))[0]
+        # (T, B) entries feed the border; (B, T) mirrors are skipped
+        selB = np.nonzero(t_mask[rr] & border_mask[cc])[0]
+        selC = np.nonzero(border_mask[rr] & border_mask[cc])[0]
+
+        as_j = jnp.asarray
+        self.selD, self.selL = as_j(selD), as_j(selL)
+        self.selB, self.selC = as_j(selB), as_j(selC)
+        self.D_idx = (as_j(blk_r[selD]), as_j(off_r[selD]), as_j(off_c[selD]))
+        self.L_idx = (as_j(blk_c[selL]), as_j(off_r[selL]), as_j(off_c[selL]))
+        self.B_idx = (as_j(pr[selB]), as_j(bpos[cc[selB]]))
+        self.C_idx = (as_j(bpos[rr[selC]]), as_j(bpos[cc[selC]]))
+
+        # diag_extra scatter targets
+        tpos_of_var = pos.copy()
+        self.t_order = as_j(t_order)
+        self.b_ids = as_j(b_ids)
+        dpos = tpos_of_var[t_order]
+        self.diagD_idx = (as_j(dpos // bs), as_j(dpos % bs))
+        # padding positions get unit diagonal
+        pad = np.zeros((nb, bs))
+        flat = np.arange(nTpad)
+        pad_mask = flat >= nT
+        pad.reshape(-1)[pad_mask] = 1.0
+        self.pad_eye = as_j(np.einsum("bi,ij->bij", pad.reshape(nb, bs),
+                                      np.eye(bs)))
+        # permutation for rhs/solution
+        self.nTpad = nTpad
+
+    # ------------------------------------------------------------------
+    def assemble(self, x, theta, lam, sigma, d, diag_extra):
+        m = self.model
+        vals = m.kkt_vals(x, theta, lam, sigma, d)
+        dt = vals.dtype
+        nb, bs, mB = self.nb, self.bs, self.mB
+        D = jnp.zeros((nb, bs, bs), dt).at[self.D_idx].add(vals[self.selD])
+        L = jnp.zeros((max(nb - 1, 1), bs, bs), dt)
+        if nb > 1:
+            L = L.at[self.L_idx].add(vals[self.selL])
+        B = jnp.zeros((self.nTpad, mB), dt).at[self.B_idx].add(
+            vals[self.selB])
+        C = jnp.zeros((mB, mB), dt).at[self.C_idx].add(vals[self.selC])
+        # diagonal terms (Sigma_x + delta_w) + unit padding
+        dT = diag_extra[self.t_order]
+        D = D.at[self.diagD_idx[0], self.diagD_idx[1],
+                 self.diagD_idx[1]].add(dT)
+        D = D + self.pad_eye
+        C = C + jnp.diag(diag_extra[self.b_ids]) if mB else C
+        return (D, L, B.reshape(nb, bs, mB), C)
+
+    # ------------------------------------------------------------------
+    def matvec(self, K, v):
+        """K @ v from the block representation (used by the IPM's iterative
+        refinement of the condensed solve)."""
+        D, L, B, C = K
+        nb, bs, mB, nT = self.nb, self.bs, self.mB, self.nT
+        dt = v.dtype
+        vT = jnp.zeros(self.nTpad, dt).at[jnp.arange(nT)].set(
+            v[self.t_order]).reshape(nb, bs)
+        out_T = jnp.einsum("bij,bj->bi", D, vT)
+        if nb > 1:
+            # lower blocks: row i+1 gets L_i v_i; upper: row i gets L_i^T v_{i+1}
+            low = jnp.einsum("bij,bj->bi", L, vT[:-1])
+            up = jnp.einsum("bji,bj->bi", L, vT[1:])
+            out_T = out_T.at[1:].add(low).at[:-1].add(up)
+        if mB:
+            vB = v[self.b_ids]
+            out_T = out_T + jnp.einsum("bij,j->bi", B, vB)
+            out_B = jnp.einsum("bij,bi->j", B, vT) + C @ vB
+        out = jnp.zeros(self.n, dt)
+        out = out.at[self.t_order].set(out_T.reshape(-1)[:nT])
+        if mB:
+            out = out.at[self.b_ids].set(out_B)
+        return out
+
+    # ------------------------------------------------------------------
+    def factor(self, K):
+        D, L, B, C = K
+        nb, bs, mB = self.nb, self.bs, self.mB
+
+        def chol(Mt):
+            return jnp.linalg.cholesky(Mt)
+
+        def step(carry, inp):
+            Lprev = carry              # chol of previous modified diag
+            Di, Li = inp
+            # Ltil = Li * Lprev^{-T}
+            Ltil = jsl.solve_triangular(Lprev, Li.T, lower=True).T
+            Dmod = Di - Ltil @ Ltil.T
+            Lc = chol(Dmod)
+            return Lc, (Lc, Ltil)
+
+        L0 = chol(D[0])
+        if nb > 1:
+            _, (Lcs, Ltils) = jax.lax.scan(step, L0, (D[1:], L[:nb - 1]))
+            Lc_all = jnp.concatenate([L0[None], Lcs])
+            Ltil_all = Ltils           # (nb-1, bs, bs)
+        else:
+            Lc_all = L0[None]
+            Ltil_all = jnp.zeros((0, bs, bs), D.dtype)
+
+        # border: Y = L_T^{-1} B  via forward substitution over blocks
+        def fwd_step(carry, inp):
+            Yprev = carry
+            Lc, Ltil, Bi = inp
+            Yi = jsl.solve_triangular(Lc, Bi - Ltil @ Yprev, lower=True)
+            return Yi, Yi
+
+        if mB:
+            Y0 = jsl.solve_triangular(Lc_all[0], B[0], lower=True)
+            if nb > 1:
+                _, Yrest = jax.lax.scan(
+                    fwd_step, Y0, (Lc_all[1:], Ltil_all, B[1:]))
+                Y = jnp.concatenate([Y0[None], Yrest])
+            else:
+                Y = Y0[None]
+            S = C - jnp.einsum("bij,bik->jk", Y, Y)
+            Ls = jnp.linalg.cholesky(S)
+        else:
+            Y = jnp.zeros((nb, bs, 0), D.dtype)
+            Ls = jnp.zeros((0, 0), D.dtype)
+
+        ok = jnp.all(jnp.isfinite(Lc_all))
+        if mB:
+            ok = ok & jnp.all(jnp.isfinite(Ls))
+        return (Lc_all, Ltil_all, Y, Ls), ok
+
+    # ------------------------------------------------------------------
+    def _t_forward(self, Lc_all, Ltil_all, r):
+        """Solve L_T u = r over blocks (r: (nb, bs))."""
+        nb = self.nb
+
+        def step(carry, inp):
+            uprev = carry
+            Lc, Ltil, ri = inp
+            ui = jsl.solve_triangular(Lc, ri - Ltil @ uprev, lower=True)
+            return ui, ui
+
+        u0 = jsl.solve_triangular(Lc_all[0], r[0], lower=True)
+        if nb > 1:
+            _, urest = jax.lax.scan(step, u0, (Lc_all[1:], Ltil_all, r[1:]))
+            return jnp.concatenate([u0[None], urest])
+        return u0[None]
+
+    def _t_backward(self, Lc_all, Ltil_all, u):
+        """Solve L_T^T x = u over blocks (backward)."""
+        nb = self.nb
+        xlast = jsl.solve_triangular(Lc_all[-1].T, u[-1], lower=False)
+        if nb == 1:
+            return xlast[None]
+
+        def step(carry, inp):
+            xnext = carry
+            Lc, Ltil, ui = inp
+            xi = jsl.solve_triangular(
+                Lc.T, ui - Ltil.T @ xnext, lower=False)
+            return xi, xi
+
+        _, xrest = jax.lax.scan(
+            step, xlast,
+            (Lc_all[:-1][::-1], Ltil_all[::-1], u[:-1][::-1]))
+        return jnp.concatenate([xrest[::-1], xlast[None]])
+
+    def solve(self, fac, rhs):
+        Lc_all, Ltil_all, Y, Ls = fac
+        nb, bs, mB, nT = self.nb, self.bs, self.mB, self.nT
+        dt = rhs.dtype
+        rT = jnp.zeros(self.nTpad, dt).at[jnp.arange(nT)].set(
+            rhs[self.t_order]).reshape(nb, bs, 1)
+        if mB:
+            rB = rhs[self.b_ids]
+            u = self._t_forward(Lc_all, Ltil_all, rT)      # (nb, bs, 1)
+            # Schur rhs: rB - Y^T u
+            rhs2 = rB - jnp.einsum("bij,bik->j", Y, u)
+            z2 = jsl.solve_triangular(Ls, rhs2, lower=True)
+            x2 = jsl.solve_triangular(Ls.T, z2, lower=False)
+            # back-substitute: L_T^T x1 = u - Y x2
+            x1 = self._t_backward(Lc_all, Ltil_all,
+                                  u - (Y @ x2)[..., None])
+        else:
+            u = self._t_forward(Lc_all, Ltil_all, rT)
+            x1 = self._t_backward(Lc_all, Ltil_all, u)
+            x2 = jnp.zeros(0, dt)
+        out = jnp.zeros(self.n, dt)
+        out = out.at[self.t_order].set(x1.reshape(-1)[:nT])
+        if mB:
+            out = out.at[self.b_ids].set(x2)
+        return out
+
+
+def make_structured_kkt(model, fallback=True, **kwargs):
+    """Detect block-tridiagonal + arrowhead structure; fall back to the
+    dense backend when the problem is too small or has no usable band."""
+    try:
+        kkt = BlockTridiagKKT(model, **kwargs)
+        if kkt.usable:
+            return kkt
+    except Exception:
+        if not fallback:
+            raise
     if fallback:
         return DenseKKT(model)
-    raise NotImplementedError("block-tridiagonal KKT backend in progress")
+    raise NotImplementedError(
+        "no usable block-tridiagonal structure and fallback disabled")

@@ -56,6 +56,11 @@ class IpmState(NamedTuple):
     y: jnp.ndarray          # (m,)
     zl: jnp.ndarray         # (n+m,)
     zu: jnp.ndarray         # (n+m,)
+    # bounds are STATE: tiny-slack correction moves them outward by machine-
+    # level amounts when a lifted equality pins its slack (Ipopt's
+    # slack-correction mechanism); initialized from the relaxed bounds
+    lz: jnp.ndarray         # (n+m,)
+    uz: jnp.ndarray         # (n+m,)
     mu: jnp.ndarray
     tau: jnp.ndarray
     delta_w_last: jnp.ndarray
@@ -66,6 +71,7 @@ class IpmState(NamedTuple):
     status: jnp.ndarray
     acceptable_count: jnp.ndarray
     small_step_count: jnp.ndarray
+    ls_fail_count: jnp.ndarray
     # logging scalars from the last step
     log_obj: jnp.ndarray
     log_inf_pr: jnp.ndarray
@@ -105,7 +111,10 @@ DEFAULTS = dict(
     kappa_w_minus=1.0 / 3.0,
     delta_c_bar=1e-8,
     max_backtracks=40,
+    refine_steps=2,
     max_reg_tries=30,
+    y_reset_cap=1e3,
+    max_ls_failures=4,
     nlp_scaling_max_gradient=100.0,
     print_level=5,
     max_wall_time=1e20,
@@ -271,7 +280,7 @@ class IpmSolver:
         ft = jnp.full((FILTER_SIZE,), jnp.inf, dt).at[0].set(theta_max)
         fp = jnp.full((FILTER_SIZE,), -jnp.inf, dt)
         return IpmState(
-            x=x, s=s, y=y0, zl=zl, zu=zu, mu=mu,
+            x=x, s=s, y=y0, zl=zl, zu=zu, lz=lz, uz=uz, mu=mu,
             tau=jnp.maximum(o["tau_min"], 1.0 - mu),
             delta_w_last=jnp.zeros((), dt),
             filter_theta=ft, filter_phi=fp,
@@ -280,6 +289,7 @@ class IpmSolver:
             status=jnp.asarray(RUNNING, jnp.int32),
             acceptable_count=jnp.asarray(0, jnp.int32),
             small_step_count=jnp.asarray(0, jnp.int32),
+            ls_fail_count=jnp.asarray(0, jnp.int32),
             log_obj=jnp.zeros((), dt), log_inf_pr=theta0,
             log_inf_du=jnp.zeros((), dt),
             log_alpha=jnp.zeros((), dt), log_alpha_z=jnp.zeros((), dt),
@@ -295,7 +305,7 @@ class IpmSolver:
         o = self.opts
         n = m.nvar
         z = jnp.concatenate([st.x, st.s])
-        lz, uz = consts["lz"], consts["uz"]
+        lz, uz = st.lz, st.uz
         has_l, has_u = consts["has_l"], consts["has_u"]
         jty = m.jtprod(jvals, st.y)
         rd = jnp.concatenate([grad + jty, -st.y]) - st.zl + st.zu
@@ -323,9 +333,8 @@ class IpmSolver:
     # ------------------------------------------------------------------
     # merit pieces
     # ------------------------------------------------------------------
-    def _phi(self, x, s, fval, consts, mu):
+    def _phi(self, x, s, fval, lz, uz, consts, mu):
         z = jnp.concatenate([x, s])
-        lz, uz = consts["lz"], consts["uz"]
         has_l, has_u = consts["has_l"], consts["has_u"]
         dl = jnp.where(has_l, z - lz, 1.0)
         du = jnp.where(has_u, uz - z, 1.0)
@@ -342,9 +351,22 @@ class IpmSolver:
         o = self.opts
         dt = m.dtype
         n, mm = m.nvar, m.ncon
-        lz, uz = consts["lz"], consts["uz"]
         has_l, has_u = consts["has_l"], consts["has_u"]
         tol = consts["tol"]
+
+        # tiny-slack correction: if a bound distance has collapsed to the
+        # floating-point cancellation level (lifted equality slacks do this
+        # when c(x) sits outside the relaxation window), move the bound
+        # outward by eps^(3/4)*max(1,|b|) so Sigma stays representable
+        eps = jnp.finfo(dt).eps
+        z_all = jnp.concatenate([st.x, st.s])
+        maxl = jnp.maximum(1.0, jnp.abs(st.lz))
+        maxu = jnp.maximum(1.0, jnp.abs(st.uz))
+        lz = jnp.where(has_l & (z_all - st.lz < 10 * eps * maxl),
+                       st.lz - eps ** 0.75 * maxl, st.lz)
+        uz = jnp.where(has_u & (st.uz - z_all < 10 * eps * maxu),
+                       st.uz + eps ** 0.75 * maxu, st.uz)
+        st = st._replace(lz=lz, uz=uz)
 
         fval = self._feval(st.x, consts)
         grad = self._geval(st.x, consts)
@@ -408,6 +430,12 @@ class IpmSolver:
         # -- condensed system with inertia-free regularization ------------
         sigma_x, sigma_s = sigma[:n], sigma[n:]
 
+        # dual regularization is ALWAYS on: it caps D = 1/(1/Sigma_s+dc) for
+        # the lifted equality rows, keeping the condensed system factorizable
+        # in f64 (the conditioning tradeoff of condensed-space IPMs; cf.
+        # PAPERS.md condensed-space papers' use of regularization+refinement)
+        delta_c_floor = o["delta_c_bar"] * mu ** 0.25
+
         def make_step(delta_w, delta_c):
             inv_ss = 1.0 / (sigma_s + delta_w)
             D = 1.0 / (inv_ss + delta_c)
@@ -423,6 +451,11 @@ class IpmSolver:
                                   D * sc * sc, diag_extra)
             fac, ok = self.kkt.factor(K)
             dx = self.kkt.solve(fac, rhs)
+            # iterative refinement recovers the digits the ill-conditioned
+            # (D ~ 1/delta_c) Cholesky loses; two rounds suffice in f64
+            for _ in range(o["refine_steps"]):
+                resid = rhs - self.kkt.matvec(K, dx)
+                dx = dx + self.kkt.solve(fac, resid)
             ok = ok & jnp.all(jnp.isfinite(dx))
             dy = D * (m.jprod(jvals, dx) + rhs2)
             ds = inv_ss * (dy - rs)
@@ -441,11 +474,11 @@ class IpmSolver:
                                       o["kappa_w_minus"] * st.delta_w_last)),
                 dw * jnp.where(st.delta_w_last == 0.0,
                                o["kappa_w_plus_init"], o["kappa_w_plus"]))
-            dc_new = o["delta_c_bar"] * mu ** 0.25
+            dc_new = delta_c_floor
             dx, ds, dy, ok = make_step(dw_new, dc_new)
             return (dx, ds, dy), dw_new, dc_new, ok, tries + 1, dw_new
 
-        dx0, ds0, dy0, ok0 = make_step(jnp.zeros((), dt), jnp.zeros((), dt))
+        dx0, ds0, dy0, ok0 = make_step(jnp.zeros((), dt), delta_c_floor)
         (dx, ds, dy), dw_f, dc_f, ok_f, _, dw_used = jax.lax.while_loop(
             reg_cond, reg_body,
             ((dx0, ds0, dy0), jnp.zeros((), dt), jnp.zeros((), dt), ok0,
@@ -476,7 +509,7 @@ class IpmSolver:
 
         # -- filter line search ------------------------------------------
         theta_c = jnp.sum(jnp.abs(rp))
-        phi_c = self._phi(st.x, st.s, fval, consts, mu)
+        phi_c = self._phi(st.x, st.s, fval, lz, uz, consts, mu)
         gphi_x = grad - mu_dl[:n] + mu_du[:n]
         gphi_s = -mu_dl[n:] + mu_du[n:]
         dphi = jnp.dot(gphi_x, dx) + jnp.dot(gphi_s, ds)
@@ -487,7 +520,7 @@ class IpmSolver:
             ft = self._feval(xt, consts)
             ct = self._ceval(xt, consts)
             theta_t = jnp.sum(jnp.abs(ct - stt))
-            phi_t = self._phi(xt, stt, ft, consts, mu)
+            phi_t = self._phi(xt, stt, ft, lz, uz, consts, mu)
             return theta_t, phi_t
 
         gt, gp = o["gamma_theta"], o["gamma_phi"]
@@ -539,11 +572,32 @@ class IpmSolver:
                                filter_len)
 
         # -- updates ------------------------------------------------------
+        # Line-search failure fallback (in place of a full feasibility
+        # restoration phase): keep the primal point, damp the multipliers
+        # and recenter the bound duals on the current barrier target, reset
+        # the filter, and try again; repeated failures stall out.  This is
+        # the escape hatch Ipopt reaches via its restoration's multiplier
+        # re-estimation.
+        failed = ~accepted
+        alpha = jnp.where(failed, 0.0, alpha)
+        y_damp = o["y_reset_cap"] / jnp.maximum(
+            jnp.max(jnp.abs(st.y), initial=0.0), o["y_reset_cap"])
         x_new = st.x + alpha * dx
         s_new = st.s + alpha * ds
-        y_new = st.y + alpha * dy
-        zl_new = st.zl + alpha_z * dzl
-        zu_new = st.zu + alpha_z * dzu
+        y_new = jnp.where(failed, st.y * y_damp, st.y + alpha * dy)
+        zl_reset = jnp.where(has_l, mu / dl, 0.0)
+        zu_reset = jnp.where(has_u, mu / du, 0.0)
+        zl_new = jnp.where(failed, zl_reset, st.zl + alpha_z * dzl)
+        zu_new = jnp.where(failed, zu_reset, st.zu + alpha_z * dzu)
+        filter_theta = jnp.where(
+            failed, jnp.full_like(filter_theta, jnp.inf).at[0].set(
+                filter_theta[0]), filter_theta)
+        filter_phi = jnp.where(failed,
+                               jnp.full_like(filter_phi, -jnp.inf),
+                               filter_phi)
+        filter_len = jnp.where(failed, jnp.asarray(1, jnp.int32), filter_len)
+        ls_fail_count = jnp.where(failed, st.ls_fail_count + 1,
+                                  jnp.asarray(0, jnp.int32))
         z_new = jnp.concatenate([x_new, s_new])
         dln = jnp.where(has_l, z_new - lz, 1.0)
         dun = jnp.where(has_u, uz - z_new, 1.0)
@@ -558,9 +612,11 @@ class IpmSolver:
         # small-step detection
         step_sz = alpha * jnp.max(jnp.abs(dz) / (1.0 + jnp.abs(z)),
                                   initial=0.0)
-        small = step_sz < 10 * jnp.finfo(dt).eps
+        small = (step_sz < 10 * jnp.finfo(dt).eps) & accepted
         small_count = jnp.where(small, st.small_step_count + 1, 0)
-        status = jnp.where((status == RUNNING) & ~accepted, STALLED, status)
+        status = jnp.where(
+            (status == RUNNING) & (ls_fail_count >= o["max_ls_failures"]),
+            STALLED, status)
         status = jnp.where((status == RUNNING) & (small_count >= 3),
                            STALLED, status)
 
@@ -570,6 +626,7 @@ class IpmSolver:
         return IpmState(
             x=keep(x_new, st.x), s=keep(s_new, st.s), y=keep(y_new, st.y),
             zl=keep(zl_new, st.zl), zu=keep(zu_new, st.zu),
+            lz=lz, uz=uz,
             mu=mu, tau=tau,
             delta_w_last=jnp.where(dw_used > 0, dw_used, st.delta_w_last),
             filter_theta=filter_theta, filter_phi=filter_phi,
@@ -578,6 +635,7 @@ class IpmSolver:
             status=status,
             acceptable_count=acceptable_count,
             small_step_count=small_count,
+            ls_fail_count=ls_fail_count,
             log_obj=fval, log_inf_pr=inf_pr, log_inf_du=inf_du,
             log_alpha=alpha, log_alpha_z=alpha_z, log_ls=ls_iters,
             log_delta_w=dw_used,

@@ -51,3 +51,6 @@ class DenseKKT:
     def solve(self, L, rhs):
         z = jsl.solve_triangular(L, rhs, lower=True)
         return jsl.solve_triangular(L.T, z, lower=False)
+
+    def matvec(self, K, v):
+        return K @ v
