@@ -1,0 +1,66 @@
+"""Device-mesh sharding of SIMD model evaluation.
+
+The genuinely new layer relative to the reference (which is single-device,
+SURVEY.md §2b: no MPI/NCCL anywhere): the row axis of every family's static
+index/data arrays is sharded over a named mesh axis, while the decision
+vector, bounds and theta stay replicated.  Under jit, XLA GSPMD then
+partitions the gathered template evaluations across devices and inserts the
+psum-style collectives for the scatter-adds into replicated outputs
+(gradient, Jacobian values feeding J^T v products, KKT assembly) -- data
+parallelism over supports/scenarios, which is exactly the axis the
+reference's SIMD abstraction batches over.
+
+The linear algebra (condensed KKT factorization) currently runs replicated;
+the scenario-Schur decomposition over the mesh is the next step on the
+roadmap (block-diagonal scenario blocks factorized locally + psum-reduced
+first-stage Schur complement).
+"""
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices=None, axis="sp", devices=None):
+    devices = devices if devices is not None else jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    import numpy as np
+
+    return Mesh(np.array(devices), (axis,))
+
+
+def shard_model(model, mesh, axis="sp"):
+    """Shard each family's row axis over ``axis`` (families whose row count
+    does not divide the mesh stay replicated); replicate flat vectors.
+
+    Returns the model (modified in place: device buffers are re-placed)."""
+    nd = mesh.devices.size
+    row_sharding = NamedSharding(mesh, P(axis))
+    replicated = NamedSharding(mesh, P())
+
+    for fam in model.con_fams + model.obj_fams:
+        vidx, pidx, fdata = model._fam_dev[id(fam)]
+        sh = row_sharding if (fam.n > 0 and fam.n % nd == 0) else replicated
+        model._fam_dev[id(fam)] = (
+            jax.device_put(vidx, sh),
+            jax.device_put(pidx, sh),
+            jax.device_put(fdata, sh),
+        )
+    for attr in ("x0", "lvar", "uvar", "theta", "lcon", "ucon",
+                 "jac_rows", "jac_cols", "y0"):
+        setattr(model, attr, jax.device_put(getattr(model, attr),
+                                            replicated))
+    model.mesh = mesh
+    return model
+
+
+def sharded_fraction(model, mesh):
+    """Fraction of family rows that actually got sharded (diagnostics)."""
+    nd = mesh.devices.size
+    total = sharded = 0
+    for fam in model.con_fams + model.obj_fams:
+        total += fam.n
+        if fam.n > 0 and fam.n % nd == 0:
+            sharded += fam.n
+    return sharded / max(total, 1)

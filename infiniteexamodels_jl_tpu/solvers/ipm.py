@@ -17,10 +17,13 @@ Algorithm skeleton (Waechter-Biegler filter line search, monotone barrier):
   - fraction-to-boundary + filter backtracking line search
   - Fiacco-McCormick barrier decrease, acceptable-point termination
 
-One IPM iteration is a single jitted function of the solver state; the host
-loop only checks status, wall-clock limits and emits the iteration log.
-Feasibility restoration is not implemented yet; line-search failure currently
-terminates with status ``stalled``.
+One IPM iteration is a single jitted function of the solver state; iterations
+run device-side in chunks (lax.while_loop) so the host loop pays one dispatch
+round-trip per ~32 iterations.  Extra robustness machinery: Ipopt-style
+uniform bound relaxation, kappa_d bound damping (degenerate multiplier rays),
+dynamic tiny-slack bound correction, iterative refinement of the condensed
+solve, and a dual-reset fallback on line-search failure (a lightweight stand-
+in for a full feasibility-restoration phase -- roadmap item).
 """
 from __future__ import annotations
 
@@ -86,6 +89,9 @@ DEFAULTS = dict(
     tol=1e-8,
     acceptable_tol=1e-6,
     acceptable_iter=15,
+    acceptable_constr_viol_tol=1e-2,
+    acceptable_dual_inf_tol=1e10,
+    acceptable_compl_inf_tol=1e-2,
     max_iter=3000,
     mu_init=1e-1,
     s_max=100.0,
@@ -114,6 +120,7 @@ DEFAULTS = dict(
     refine_steps=2,
     max_reg_tries=30,
     y_reset_cap=1e3,
+    kappa_d=1e-5,
     max_ls_failures=4,
     nlp_scaling_max_gradient=100.0,
     print_level=5,
@@ -147,12 +154,33 @@ class IpmSolver:
                 from .block_tridiag import make_structured_kkt
 
                 kkt = make_structured_kkt(model, fallback=(kind == "auto"))
+            elif kind == "ldl_cpp":
+                # native sparse LDL^T on the host (the reference's
+                # Ipopt/MA27-style CPU path)
+                from .cpp_ldl import CppLdlKKT
+
+                kkt = CppLdlKKT(model)
             else:
                 raise ValueError(f"unknown linear_solver {kind!r}")
         self.kkt = kkt
+        self._build_jits()
+        self._consts_cache = None
+
+    def _build_jits(self):
         self._step_jit = jax.jit(self._step, donate_argnums=(0,))
         self._init_jit = jax.jit(self._init_state)
-        self._consts_cache = None
+        self._consts_jit = jax.jit(self._make_consts)
+        # device-side multi-iteration driver: one host round-trip per chunk
+        # (the tunneled-TPU dispatch latency dominates otherwise)
+
+        def run_chunk(st, consts, iter_cap):
+            def cond(s):
+                return (s.status == RUNNING) & (s.iter < iter_cap)
+
+            return jax.lax.while_loop(cond,
+                                      lambda s: self._step(s, consts), st)
+
+        self._run_jit = jax.jit(run_chunk, donate_argnums=(0,))
 
     # options that are runtime values (changing them never retraces)
     _RUNTIME_OPTS = frozenset({
@@ -170,8 +198,7 @@ class IpmSolver:
             self.opts[k] = v
         if rebuild and hasattr(self, "_step_jit"):
             # algorithmic constants are baked into the trace; re-jit
-            self._step_jit = jax.jit(self._step, donate_argnums=(0,))
-            self._init_jit = jax.jit(self._init_state)
+            self._build_jits()
 
     def reset(self, model=None):
         """Prepare for a re-solve; model shape must be unchanged so compiled
@@ -186,11 +213,15 @@ class IpmSolver:
     # ------------------------------------------------------------------
     # problem-constant data for one solve
     # ------------------------------------------------------------------
-    def _make_consts(self, theta):
+    def _make_consts(self, theta, x0=None, lvar=None, uvar=None):
         m = self.model
         o = self.opts
         dt = m.dtype
-        x0 = m.x0
+        # mutable model data comes in as ARGUMENTS so the jitted version
+        # never bakes stale warm-start/bound values
+        x0 = m.x0 if x0 is None else x0
+        lvar = m.lvar if lvar is None else lvar
+        uvar = m.uvar if uvar is None else uvar
         # gradient-based scaling at x0 (Ipopt nlp_scaling_method=gradient-based)
         gmax = o["nlp_scaling_max_gradient"]
         g0 = m.grad(x0, theta) * m.sense
@@ -202,8 +233,8 @@ class IpmSolver:
 
         lcon = m.lcon * sc
         ucon = m.ucon * sc
-        lz = jnp.concatenate([m.lvar, lcon])
-        uz = jnp.concatenate([m.uvar, ucon])
+        lz = jnp.concatenate([lvar, lcon])
+        uz = jnp.concatenate([uvar, ucon])
         # Ipopt-style bound_relax_factor: every finite bound is relaxed
         # outward by kr*max(1,|b|).  This both lifts equalities/fixed
         # variables (LiftedKKT-style, so the condensed system stays regular)
@@ -328,7 +359,7 @@ class IpmSolver:
             jnp.max(jnp.abs(compl_l), initial=0.0),
             jnp.max(jnp.abs(compl_u), initial=0.0))
         E = jnp.maximum(jnp.maximum(inf_du / sd, inf_pr), inf_comp / sc_)
-        return E, inf_pr, inf_du, inf_comp
+        return E, inf_pr, inf_du, inf_comp, sd, sc_
 
     # ------------------------------------------------------------------
     # merit pieces
@@ -341,7 +372,15 @@ class IpmSolver:
         # log of nonpositive slack -> +inf barrier (trial point rejected)
         bl = jnp.where(has_l, -jnp.log(dl), 0.0)
         bu = jnp.where(has_u, -jnp.log(du), 0.0)
-        return fval + mu * (jnp.sum(bl) + jnp.sum(bu))
+        phi = fval + mu * (jnp.sum(bl) + jnp.sum(bu))
+        # Waechter-Biegler bound damping (§3.7, Ipopt kappa_d): linear terms
+        # on one-sided-bounded variables keep degenerate multipliers bounded
+        kd = self.opts["kappa_d"]
+        damp_l = has_l & ~has_u
+        damp_u = has_u & ~has_l
+        phi = phi + kd * mu * (jnp.sum(jnp.where(damp_l, dl, 0.0))
+                               + jnp.sum(jnp.where(damp_u, du, 0.0)))
+        return phi
 
     # ------------------------------------------------------------------
     # one IPM iteration
@@ -374,10 +413,16 @@ class IpmSolver:
         jvals = self._jvals(st.x, consts)
 
         # -- convergence -------------------------------------------------
-        E0, inf_pr, inf_du, _ = self._kkt_error(
+        E0, inf_pr, inf_du, inf_comp, sd, sc_ = self._kkt_error(
             st, consts, grad, jvals, cval, jnp.zeros((), dt))
         converged = E0 <= tol
-        acc_now = E0 <= consts["acceptable_tol"]
+        # Ipopt-style acceptable criteria: scaled overall error within
+        # acceptable_tol AND the component-wise guards (whose loose dual
+        # default 1e10 tolerates degenerate multiplier rays)
+        acc_now = ((E0 <= consts["acceptable_tol"])
+                   & (inf_pr <= o["acceptable_constr_viol_tol"])
+                   & (inf_du / sd <= o["acceptable_dual_inf_tol"])
+                   & (inf_comp / sc_ <= o["acceptable_compl_inf_tol"]))
         acceptable_count = jnp.where(acc_now, st.acceptable_count + 1, 0)
         acc_done = acceptable_count >= consts["acceptable_iter"]
         bad = ~jnp.isfinite(E0)
@@ -392,7 +437,7 @@ class IpmSolver:
         # -- barrier update (may fire repeatedly) -------------------------
         def mu_cond(val):
             mu, tau, flen, ftheta, fphi = val
-            E_mu, *_ = self._kkt_error(st, consts, grad, jvals, cval, mu)
+            E_mu = self._kkt_error(st, consts, grad, jvals, cval, mu)[0]
             mu_floor = tol * o["mu_min_fraction"]
             return (E_mu <= o["kappa_epsilon"] * mu) & (mu > mu_floor)
 
@@ -422,9 +467,13 @@ class IpmSolver:
         mu_dl = jnp.where(has_l, mu / dl, 0.0)
         mu_du = jnp.where(has_u, mu / du, 0.0)
 
+        # bound-damping gradient contribution (one-sided bounds only)
+        kd = o["kappa_d"]
+        damp = kd * mu * (jnp.where(has_l & ~has_u, 1.0, 0.0)
+                          - jnp.where(has_u & ~has_l, 1.0, 0.0))
         jty = m.jtprod(jvals, st.y)
-        rx = grad + jty - mu_dl[:n] + mu_du[:n]
-        rs = -st.y - mu_dl[n:] + mu_du[n:]
+        rx = grad + jty - mu_dl[:n] + mu_du[:n] + damp[:n]
+        rs = -st.y - mu_dl[n:] + mu_du[n:] + damp[n:]
         rp = cval - st.s
 
         # -- condensed system with inertia-free regularization ------------
@@ -453,7 +502,10 @@ class IpmSolver:
             dx = self.kkt.solve(fac, rhs)
             # iterative refinement recovers the digits the ill-conditioned
             # (D ~ 1/delta_c) Cholesky loses; two rounds suffice in f64
-            for _ in range(o["refine_steps"]):
+            # (exact host-side solvers skip it)
+            nref = 0 if getattr(self.kkt, "exact_solve", False) \
+                else o["refine_steps"]
+            for _ in range(nref):
                 resid = rhs - self.kkt.matvec(K, dx)
                 dx = dx + self.kkt.solve(fac, resid)
             ok = ok & jnp.all(jnp.isfinite(dx))
@@ -510,8 +562,8 @@ class IpmSolver:
         # -- filter line search ------------------------------------------
         theta_c = jnp.sum(jnp.abs(rp))
         phi_c = self._phi(st.x, st.s, fval, lz, uz, consts, mu)
-        gphi_x = grad - mu_dl[:n] + mu_du[:n]
-        gphi_s = -mu_dl[n:] + mu_du[n:]
+        gphi_x = grad - mu_dl[:n] + mu_du[:n] + damp[:n]
+        gphi_s = -mu_dl[n:] + mu_du[n:] + damp[n:]
         dphi = jnp.dot(gphi_x, dx) + jnp.dot(gphi_s, ds)
 
         def trial(alpha):
@@ -580,11 +632,19 @@ class IpmSolver:
         # re-estimation.
         failed = ~accepted
         alpha = jnp.where(failed, 0.0, alpha)
-        y_damp = o["y_reset_cap"] / jnp.maximum(
-            jnp.max(jnp.abs(st.y), initial=0.0), o["y_reset_cap"])
+        cap = o["y_reset_cap"]
+        # reheat the barrier on failure: the monotone schedule can plunge mu
+        # while the iterate is still infeasible (then primal infeasibility
+        # regrows with no way back); restoration-style recovery re-centers
+        # at a mu matched to the current infeasibility
+        mu = jnp.where(failed,
+                       jnp.minimum(0.1, jnp.maximum(mu, 10.0 * inf_pr)), mu)
+        tau = jnp.where(failed,
+                        jnp.maximum(o["tau_min"], 1.0 - mu), tau)
         x_new = st.x + alpha * dx
         s_new = st.s + alpha * ds
-        y_new = jnp.where(failed, st.y * y_damp, st.y + alpha * dy)
+        y_new = jnp.where(failed, jnp.clip(st.y, -cap, cap),
+                          st.y + alpha * dy)
         zl_reset = jnp.where(has_l, mu / dl, 0.0)
         zu_reset = jnp.where(has_u, mu / du, 0.0)
         zl_new = jnp.where(failed, zl_reset, st.zl + alpha_z * dzl)
@@ -630,12 +690,12 @@ class IpmSolver:
             mu=mu, tau=tau,
             delta_w_last=jnp.where(dw_used > 0, dw_used, st.delta_w_last),
             filter_theta=filter_theta, filter_phi=filter_phi,
-            filter_len=filter_len,
-            iter=st.iter + jnp.where(stop, 0, 1),
-            status=status,
-            acceptable_count=acceptable_count,
-            small_step_count=small_count,
-            ls_fail_count=ls_fail_count,
+            filter_len=filter_len.astype(jnp.int32),
+            iter=(st.iter + jnp.where(stop, 0, 1)).astype(jnp.int32),
+            status=status.astype(jnp.int32),
+            acceptable_count=acceptable_count.astype(jnp.int32),
+            small_step_count=small_count.astype(jnp.int32),
+            ls_fail_count=ls_fail_count.astype(jnp.int32),
             log_obj=fval, log_inf_pr=inf_pr, log_inf_du=inf_du,
             log_alpha=alpha, log_alpha_z=alpha_z, log_ls=ls_iters,
             log_delta_w=dw_used,
@@ -651,7 +711,7 @@ class IpmSolver:
         m = self.model
         t_start = time.time()
         theta = m.theta
-        consts = self._make_consts(theta)
+        consts = self._consts_jit(theta, m.x0, m.lvar, m.uvar)
         x0 = m.x0 if x0 is None else jnp.asarray(x0, m.dtype)
         y0 = m.y0 if y0 is None else jnp.asarray(y0, m.dtype)
         # internal y is for the scaled problem: y_scaled = y_user*sf/sc*sense
@@ -664,9 +724,17 @@ class IpmSolver:
             print("iter    objective    inf_pr   inf_du     mu    "
                   "alpha  alpha_z  ls")
         it = 0
+        chunk = 1 if verbose else 32
         while it < o["max_iter"]:
             t0 = time.time()
-            st = self._step_jit(st, consts)
+            if chunk == 1:
+                st = self._step_jit(st, consts)
+            else:
+                # device-side multi-iteration driver: one host round-trip
+                # per chunk (dispatch latency over the TPU tunnel dominates
+                # a per-iteration loop)
+                cap = jnp.asarray(min(it + chunk, o["max_iter"]), jnp.int32)
+                st = self._run_jit(st, consts, cap)
             code = int(st.status)
             it = int(st.iter)
             timers["step_total"] += time.time() - t0

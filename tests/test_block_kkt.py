@@ -67,3 +67,22 @@ def test_ipm_with_block_kkt_matches_dense():
     assert res_bt.objective == pytest.approx(res_dense.objective, abs=1e-8)
     np.testing.assert_allclose(res_bt.solution, res_dense.solution,
                                atol=1e-6)
+
+
+def test_ipm_with_native_ldl_matches_dense():
+    """The native C++ sparse LDL^T path (the reference's MA27-role CPU
+    factorization) reproduces the device path."""
+    m = hovercraft(num_supports=31)
+    m.set_transformation_backend(ExaTranscriptionBackend(IpmSolver))
+    m.set_silent()
+    res_dense = m.optimize()
+
+    m2 = hovercraft(num_supports=31)
+    m2.set_transformation_backend(
+        ExaTranscriptionBackend(IpmSolver, linear_solver="ldl_cpp"))
+    m2.set_silent()
+    res_ldl = m2.optimize()
+    assert res_ldl.status == "first_order"
+    assert res_ldl.objective == pytest.approx(res_dense.objective, abs=1e-9)
+    np.testing.assert_allclose(res_ldl.solution, res_dense.solution,
+                               atol=1e-7)
