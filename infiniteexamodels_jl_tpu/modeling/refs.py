@@ -222,6 +222,38 @@ class VarBase(Expr):
     __slots__ = ()
     __hash__ = object.__hash__
 
+    # JuMP-style bound/start mutation sugar (reference call sites e.g.
+    # test/transcription.jl:12-18: set_start_value, delete_lower_bound,
+    # set_upper_bound, fix)
+    def _touch(self):
+        model = getattr(self, "model", None)
+        if model is not None:
+            model._mark_dirty()
+
+    def set_lower_bound(self, v):
+        self.info.lb = v
+        self._touch()
+
+    def set_upper_bound(self, v):
+        self.info.ub = v
+        self._touch()
+
+    def delete_lower_bound(self):
+        self.info.lb = -np.inf
+        self._touch()
+
+    def delete_upper_bound(self):
+        self.info.ub = np.inf
+        self._touch()
+
+    def fix(self, v):
+        self.info.fix = v
+        self._touch()
+
+    def set_start_value(self, v):
+        self.info.start = v
+        self._touch()
+
 
 class FiniteVar(VarBase):
     __slots__ = ("model", "name", "info")

@@ -126,7 +126,7 @@ DEFAULTS = dict(
     print_level=5,
     max_wall_time=1e20,
     mu_min_fraction=0.1,     # mu floor = tol * this
-    linear_solver="dense",   # "dense" | "block_tridiag" | "auto"
+    linear_solver="dense",   # "dense" | "block_tridiag" | "auto" | "ldl_cpp"
 )
 
 
@@ -154,7 +154,9 @@ class IpmSolver:
                 from .block_tridiag import make_structured_kkt
 
                 kkt = make_structured_kkt(model, fallback=(kind == "auto"))
-            elif kind == "ldl_cpp":
+            elif kind in ("ldl_cpp", "ma27"):
+                # "ma27" accepted as an alias: it names the role this path
+                # plays in the reference stack (Ipopt's CPU factorization)
                 # native sparse LDL^T on the host (the reference's
                 # Ipopt/MA27-style CPU path)
                 from .cpp_ldl import CppLdlKKT
@@ -702,9 +704,22 @@ class IpmSolver:
         )
 
     # ------------------------------------------------------------------
+    # checkpoint / resume (SURVEY.md §5: the reference has only in-memory
+    # warm restart; long IPM runs on pods need preemption-safe state)
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, path, state):
+        np.savez(path, **{k: np.asarray(v)
+                          for k, v in state._asdict().items()})
+
+    def load_checkpoint(self, path):
+        data = np.load(path)
+        return IpmState(**{k: jnp.asarray(data[k]) for k in data.files})
+
+    # ------------------------------------------------------------------
     # host driver
     # ------------------------------------------------------------------
-    def solve(self, x0=None, y0=None, stats=None, **options):
+    def solve(self, x0=None, y0=None, stats=None, resume_from=None,
+              checkpoint_path=None, checkpoint_every=0, **options):
         if options:
             self.set_options(**options)
         o = self.opts
@@ -716,7 +731,10 @@ class IpmSolver:
         y0 = m.y0 if y0 is None else jnp.asarray(y0, m.dtype)
         # internal y is for the scaled problem: y_scaled = y_user*sf/sc*sense
         y0s = y0 * m.sense * consts["sf"] / consts["sc"]
-        st = self._init_jit(x0, y0s, consts)
+        if resume_from is not None:
+            st = self.load_checkpoint(resume_from)
+        else:
+            st = self._init_jit(x0, y0s, consts)
         timers = {"build": np.nan, "step_total": 0.0}
         status = "max_iter"
         verbose = o["print_level"] >= 5
@@ -743,6 +761,10 @@ class IpmSolver:
                       f"{float(st.log_inf_pr):8.2e} {float(st.log_inf_du):8.2e} "
                       f"{float(st.mu):7.1e} {float(st.log_alpha):6.4f} "
                       f"{float(st.log_alpha_z):6.4f} {int(st.log_ls):3d}")
+            if checkpoint_path and checkpoint_every and \
+                    it // checkpoint_every != \
+                    (it - chunk) // checkpoint_every:
+                self.save_checkpoint(checkpoint_path, st)
             if code != RUNNING:
                 status = _STATUS_NAMES[code]
                 break

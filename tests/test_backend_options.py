@@ -135,3 +135,21 @@ def test_rebuild_after_structure_change_resolves():
     assert m.backend.raw_status() == "first_order"
     assert m.value(w) >= 1.0 - 1e-6   # w has no objective pull; just feasible
     assert m.objective_value() == pytest.approx(-12.784599900757165, abs=1e-6)
+
+
+def test_checkpoint_resume(tmp_path):
+    """IPM state checkpointing: a preempted solve resumes from disk and
+    reaches the same answer (SURVEY.md §5 roadmap item; the reference has
+    only in-memory warm restart)."""
+    from infiniteexamodels_jl_tpu.solvers.ipm import IpmSolver as S
+
+    m, y, z = five_by_five()
+    b = m.backend
+    b.build(m)
+    ckpt = str(tmp_path / "ipm_state.npz")
+    solver = S(b.model, print_level=0, max_iter=8)
+    solver.solve(checkpoint_path=ckpt, checkpoint_every=4)
+    solver2 = S(b.model, print_level=0, max_iter=3000)
+    res = solver2.solve(resume_from=ckpt)
+    assert res.status == "first_order"
+    assert res.objective == pytest.approx(-12.784599900757165, abs=1e-6)

@@ -11,7 +11,8 @@ from infiniteexamodels_jl_tpu.modeling import deriv
 
 
 def attach(m):
-    m.set_transformation_backend(ExaTranscriptionBackend(IpmSolver))
+    m.set_transformation_backend(
+        ExaTranscriptionBackend(IpmSolver, linear_solver="auto"))
     m.set_silent()
     return m
 
