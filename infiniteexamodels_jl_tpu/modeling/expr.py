@@ -50,6 +50,17 @@ class Expr:
         return nl("/", other, self)
 
     def __pow__(self, p):
+        # integer powers become multiplication chains (JuMP parity: x^2 is
+        # a quadratic term, never a pow call; also avoids pow-AD NaNs at 0)
+        if isinstance(p, (int, float)) and float(p).is_integer() \
+                and 0 <= p <= 16:
+            n = int(p)
+            if n == 0:
+                return Num(1.0)
+            out = self
+            for _ in range(n - 1):
+                out = nl("*", out, self)
+            return out
         return nl("^", self, p)
 
     def __rpow__(self, other):

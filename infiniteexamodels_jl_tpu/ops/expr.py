@@ -323,11 +323,35 @@ class Call(Expr):
         return f"{self.op}({', '.join(map(repr, self.args))})"
 
 
+def _int_pow(base, n):
+    """x**n for integer n as a multiplication chain (exponentiation by
+    squaring).  Avoids jnp.power's exp/log path, whose AD produces NaN at
+    x == 0 on backends with emulated f64 (observed on TPU: the Hessian of
+    u**2.0 at u=0 evaluates 0**0 through exp(0*log(0)))."""
+    if n == 0:
+        return Const(1.0)
+    if n < 0:
+        return _call("inv", _int_pow(base, -n))
+    result = None
+    sq = base
+    while n:
+        if n & 1:
+            result = sq if result is None else _call("*", result, sq)
+        n >>= 1
+        if n:
+            sq = _call("*", sq, sq)
+    return result
+
+
 def _call(op, *args):
     try:
         args = [lift(a) for a in args]
     except TypeError:
         return NotImplemented
+    if op == "^" and len(args) == 2 and isinstance(args[1], Const) \
+            and float(args[1].value).is_integer() \
+            and abs(args[1].value) <= 16:
+        return _int_pow(args[0], int(args[1].value))
     # constant folding keeps template size down for big summations
     if all(isinstance(a, Const) for a in args):
         import numpy as _np
