@@ -42,9 +42,18 @@ def _round_up(x, m):
 
 class BlockTridiagKKT:
     """Structured condensed-KKT backend.  Build-time analysis happens once;
-    per-iteration work is scatter-add assembly + block factorization."""
+    per-iteration work is scatter-add assembly + block factorization.
 
-    def __init__(self, model, max_block=512, min_blocks=4, max_border=4096):
+    ``factor_dtype=jnp.float32`` enables mixed precision: the blocks are
+    Jacobi-scaled (symmetric diagonal equilibration) and factorized in
+    native f32 -- on TPU this runs on the hardware path instead of the
+    emulated-f64 one -- while the IPM's f64 iterative refinement (driven
+    through :meth:`matvec` on the f64 blocks) restores full accuracy.
+    """
+
+    def __init__(self, model, max_block=512, min_blocks=4, max_border=4096,
+                 factor_dtype=None):
+        self.factor_dtype = factor_dtype
         self.model = model
         n = model.nvar
         rows = model.hess_rows_np
@@ -209,6 +218,28 @@ class BlockTridiagKKT:
         D, L, B, C = K
         nb, bs, mB = self.nb, self.bs, self.mB
 
+        if self.factor_dtype is not None and self.factor_dtype != D.dtype:
+            # Jacobi (symmetric diagonal) equilibration, then cast: the
+            # low-precision factorization runs on the native hardware path;
+            # the IPM's refinement against the f64 matvec restores accuracy
+            dg = jnp.abs(jnp.einsum("bii->bi", D))
+            sT = 1.0 / jnp.sqrt(jnp.maximum(dg, 1e-30))      # (nb, bs)
+            D = D * sT[:, :, None] * sT[:, None, :]
+            if nb > 1 and not self.block_diag:
+                L = L * sT[1:, :, None] * sT[:-1, None, :]
+            if mB:
+                sB = 1.0 / jnp.sqrt(jnp.maximum(jnp.abs(jnp.diag(C)),
+                                                1e-30))
+                B = B * sT[:, :, None] * sB[None, None, :]
+                C = C * sB[:, None] * sB[None, :]
+            else:
+                sB = jnp.zeros(0, D.dtype)
+            fdt = self.factor_dtype
+            D, L, B, C = (D.astype(fdt), L.astype(fdt), B.astype(fdt),
+                          C.astype(fdt))
+        else:
+            sT = sB = None
+
         if self.block_diag:
             # batched over blocks: embarrassingly parallel on the MXU and
             # shardable over a scenario mesh axis
@@ -262,7 +293,7 @@ class BlockTridiagKKT:
         ok = jnp.all(jnp.isfinite(Lc_all))
         if mB:
             ok = ok & jnp.all(jnp.isfinite(Ls))
-        return (Lc_all, Ltil_all, Y, Ls), ok
+        return (Lc_all, Ltil_all, Y, Ls, sT, sB), ok
 
     # ------------------------------------------------------------------
     def _t_forward(self, Lc_all, Ltil_all, r):
@@ -306,13 +337,21 @@ class BlockTridiagKKT:
         return jnp.concatenate([xrest[::-1], xlast[None]])
 
     def solve(self, fac, rhs):
-        Lc_all, Ltil_all, Y, Ls = fac
+        Lc_all, Ltil_all, Y, Ls, sT, sB = fac
         nb, bs, mB = self.nb, self.bs, self.mB
         dt = rhs.dtype
+        fdt = Lc_all.dtype
         rT = jnp.zeros(self.nTpad, dt).at[self.t_slots].set(
             rhs[self.t_ids]).reshape(nb, bs, 1)
+        if sT is not None:
+            rT = (rT * sT[:, :, None]).astype(fdt)
+        else:
+            rT = rT.astype(fdt)
         if mB:
             rB = rhs[self.b_ids]
+            if sB is not None:
+                rB = (rB * sB)
+            rB = rB.astype(fdt)
             u = self._t_forward(Lc_all, Ltil_all, rT)
             rhs2 = rB - jnp.einsum("bij,bik->j", Y, u)
             z2 = jsl.solve_triangular(Ls, rhs2, lower=True)
@@ -323,9 +362,15 @@ class BlockTridiagKKT:
             u = self._t_forward(Lc_all, Ltil_all, rT)
             x1 = self._t_backward(Lc_all, Ltil_all, u)
             x2 = jnp.zeros(0, dt)
+        x1 = x1.astype(dt)
+        if sT is not None:
+            x1 = x1 * sT[:, :, None]
         out = jnp.zeros(self.n, dt)
         out = out.at[self.t_ids].set(x1.reshape(-1)[self.t_slots])
         if mB:
+            x2 = x2.astype(dt)
+            if sB is not None:
+                x2 = x2 * sB
             out = out.at[self.b_ids].set(x2)
         return out
 
@@ -341,6 +386,6 @@ def make_structured_kkt(model, fallback=True, **kwargs):
         if not fallback:
             raise
     if fallback:
-        return DenseKKT(model)
+        return DenseKKT(model)   # f64; mixed precision is structured-only
     raise NotImplementedError(
         "no usable block structure and fallback disabled")

@@ -118,6 +118,7 @@ DEFAULTS = dict(
     delta_c_bar=1e-8,
     max_backtracks=40,
     refine_steps=2,
+    refine_steps_f32=4,      # extra refinement when factoring in f32
     max_reg_tries=30,
     y_reset_cap=1e3,
     kappa_d=1e-5,
@@ -126,6 +127,7 @@ DEFAULTS = dict(
     print_level=5,
     max_wall_time=1e20,
     mu_min_fraction=0.1,     # mu floor = tol * this
+    factor_dtype="float64",  # "float64" | "float32" (mixed precision + IR)
     linear_solver="dense",   # "dense" | "block_tridiag" | "auto" | "ldl_cpp"
 )
 
@@ -153,7 +155,11 @@ class IpmSolver:
             elif kind in ("block_tridiag", "auto"):
                 from .block_tridiag import make_structured_kkt
 
-                kkt = make_structured_kkt(model, fallback=(kind == "auto"))
+                fd = None
+                if self.opts["factor_dtype"] == "float32":
+                    fd = jnp.float32
+                kkt = make_structured_kkt(model, fallback=(kind == "auto"),
+                                          factor_dtype=fd)
             elif kind in ("ldl_cpp", "ma27"):
                 # "ma27" accepted as an alias: it names the role this path
                 # plays in the reference stack (Ipopt's CPU factorization)
@@ -505,8 +511,12 @@ class IpmSolver:
             # iterative refinement recovers the digits the ill-conditioned
             # (D ~ 1/delta_c) Cholesky loses; two rounds suffice in f64
             # (exact host-side solvers skip it)
-            nref = 0 if getattr(self.kkt, "exact_solve", False) \
-                else o["refine_steps"]
+            if getattr(self.kkt, "exact_solve", False):
+                nref = 0
+            elif getattr(self.kkt, "factor_dtype", None) is not None:
+                nref = o["refine_steps_f32"]
+            else:
+                nref = o["refine_steps"]
             for _ in range(nref):
                 resid = rhs - self.kkt.matvec(K, dx)
                 dx = dx + self.kkt.solve(fac, resid)
