@@ -44,16 +44,17 @@ def test_quadrotor_small():
 
 def test_pandemic():
     """The SEIR cap constraint is a high-order state constraint: the
-    discretized NLP is degenerate (unbounded multiplier ray), so the dual
-    certificate wanders while the primal converges.  Assert primal quality;
-    full first-order certification for this family is a roadmap item
-    (feasibility restoration / proximal dual stabilization)."""
+    discretized NLP is degenerate (large multipliers on the singular arc).
+    At tol=1e-6 the sd-scaled dual test passes and the solve certifies
+    first_order (matching practical Ipopt usage); the tol=1e-8 certificate
+    is a roadmap item (proximal dual stabilization)."""
     m = pandemic(num_supports=51, num_scenarios=4)
     m.set_transformation_backend(
-        ExaTranscriptionBackend(IpmSolver, linear_solver="auto"))
+        ExaTranscriptionBackend(IpmSolver, linear_solver="auto", tol=1e-6))
     m.set_silent()
-    m.set_attribute("max_iter", 320)
+    m.set_attribute("max_iter", 800)
     res = m.optimize()
+    assert res.status == "first_order"
     assert res.primal_feas <= 1e-4
     assert 28.9 <= m.objective_value() <= 29.4
     i_var = next(v for v in m.infinite_vars if v.name == "i")
