@@ -93,7 +93,7 @@ DEFAULTS = dict(
     acceptable_dual_inf_tol=1e10,
     acceptable_compl_inf_tol=1e-2,
     max_iter=3000,
-    mu_init=1e-1,
+    mu_init="auto",   # "auto": 0.1*max(1, theta0), clipped to [0.1, 100]
     s_max=100.0,
     kappa_epsilon=10.0,
     kappa_mu=0.2,
@@ -264,7 +264,8 @@ class IpmSolver:
             tol=jnp.asarray(o["tol"], dt),
             acceptable_tol=jnp.asarray(o["acceptable_tol"], dt),
             acceptable_iter=jnp.asarray(o["acceptable_iter"], jnp.int32),
-            mu_init=jnp.asarray(o["mu_init"], dt),
+            mu_init=jnp.asarray(
+                -1.0 if o["mu_init"] == "auto" else o["mu_init"], dt),
         )
 
     # -- scaled model evaluations ---------------------------------------
@@ -313,8 +314,14 @@ class IpmSolver:
         z = jnp.concatenate([x, s])
         zl = jnp.where(has_l, 1.0, 0.0).astype(dt)
         zu = jnp.where(has_u, 1.0, 0.0).astype(dt)
-        mu = consts["mu_init"]
         theta0 = jnp.sum(jnp.abs(c0 - s))
+        # scale-aware automatic initial barrier: far-infeasible starts need
+        # a hot barrier or fraction-to-boundary crawls (observed 527 -> 41
+        # iterations on the farmer LP family); the MAX-norm keeps the
+        # heuristic size-independent
+        theta_inf = jnp.max(jnp.abs(c0 - s), initial=0.0)
+        mu_auto = jnp.clip(0.1 * jnp.maximum(1.0, theta_inf), 0.1, 100.0)
+        mu = jnp.where(consts["mu_init"] < 0, mu_auto, consts["mu_init"])
         theta_max = 1e4 * jnp.maximum(1.0, theta0)
         ft = jnp.full((FILTER_SIZE,), jnp.inf, dt).at[0].set(theta_max)
         fp = jnp.full((FILTER_SIZE,), -jnp.inf, dt)
