@@ -70,6 +70,17 @@ def run_cases(name, im_func, kwarg_list, outdir, prerun=True):
         w.writeheader()
         w.writerows(rows)
     print("wrote", path)
+    # LaTeX table alongside the CSV (reference examples/utils.jl emits a
+    # booktabs table for the paper)
+    tex = os.path.join(outdir, f"{name}_ipm_results.tex")
+    with open(tex, "w") as fh:
+        fh.write("\\begin{tabular}{" + "r" * len(cols) + "}\n\\toprule\n")
+        fh.write(" & ".join(c.replace("_", "\\_") for c in cols)
+                 + " \\\\\n\\midrule\n")
+        for r in rows:
+            fh.write(" & ".join(str(r[c]) for c in cols) + " \\\\\n")
+        fh.write("\\bottomrule\n\\end{tabular}\n")
+    print("wrote", tex)
 
 
 def main():
