@@ -35,8 +35,11 @@ def solve_one(im_func, kwargs, linear_solver="auto"):
     backend = ExaTranscriptionBackend(
         IpmSolver, linear_solver=linear_solver, print_level=0, tol=1e-6)
     m.set_transformation_backend(backend)
-    res = backend.optimize(m)
+    res = backend.optimize(m)          # includes jit compiles
     total_time = time.time() - t0
+    # warm re-solve separates compile time from steady-state solve time
+    backend.model.refresh_from_core()
+    res = backend.solver.solve()
     return dict(
         nvar=backend.model.nvar,
         ncon=backend.model.ncon,
