@@ -35,8 +35,11 @@ except Exception:
     pass
 
 ANCHOR_ITERS_PER_S = 10.0
-NUM_SUPPORTS = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+NUM_SUPPORTS = (int(sys.argv[1])
+                if len(sys.argv) > 1 and not sys.argv[1].startswith("-")
+                else 200)
 RUN_OPF = os.environ.get("IXM_BENCH_OPF", "1") != "0"
+OPF_TIMEOUT_S = int(os.environ.get("IXM_BENCH_OPF_TIMEOUT", "420"))
 
 
 def run_model(build_fn, **solver_opts):
@@ -61,8 +64,20 @@ def run_model(build_fn, **solver_opts):
     return backend, res, build_time, first_solve, solve_time
 
 
+def opf_child():
+    from infiniteexamodels_jl_tpu.models import opf
+
+    b2, r2, bt2, fs2, st2 = run_model(lambda: opf(num_supports=1000))
+    print(json.dumps({
+        "status": r2.status, "iters": int(r2.iter),
+        "objective": float(r2.objective), "nvar": b2.model.nvar,
+        "resolve_s": round(st2, 2),
+        "iters_per_s": round(max(r2.iter, 1) / st2, 3),
+    }))
+
+
 def main():
-    from infiniteexamodels_jl_tpu.models import quad, opf
+    from infiniteexamodels_jl_tpu.models import quad
 
     backend, res, build_time, first_solve, solve_time = run_model(
         lambda: quad(num_supports=NUM_SUPPORTS))
@@ -79,17 +94,21 @@ def main():
         "resolve_s": round(solve_time, 2),
     }
     if RUN_OPF:
+        # subprocess + timeout: a slow/faulting OPF compile must never keep
+        # the primary metric from printing
+        import subprocess
+
         try:
-            b2, r2, bt2, fs2, st2 = run_model(
-                lambda: opf(num_supports=1000))
-            detail["opf1000"] = {
-                "status": r2.status, "iters": int(r2.iter),
-                "objective": float(r2.objective),
-                "nvar": b2.model.nvar,
-                "resolve_s": round(st2, 2),
-                "iters_per_s": round(max(r2.iter, 1) / st2, 3),
-            }
-        except Exception as e:   # keep the primary metric printable
+            out2 = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--opf-child"],
+                capture_output=True, text=True, timeout=OPF_TIMEOUT_S)
+            line = [ln for ln in out2.stdout.splitlines()
+                    if ln.startswith("{")]
+            detail["opf1000"] = (json.loads(line[-1]) if line else
+                                 {"error": out2.stderr[-200:]})
+        except subprocess.TimeoutExpired:
+            detail["opf1000"] = {"error": f"timeout>{OPF_TIMEOUT_S}s"}
+        except Exception as e:
             detail["opf1000"] = {"error": str(e)[:200]}
     out = {
         "metric": f"quadrotor{NUM_SUPPORTS}_ipm_iterations_per_s",
@@ -102,4 +121,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--opf-child" in sys.argv:
+        opf_child()
+    else:
+        main()
