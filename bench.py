@@ -35,6 +35,14 @@ try:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass
+# keep the host CPU backend available next to the TPU so cheap one-shot
+# modules (problem constants) compile locally instead of over the tunnel
+try:
+    if "cpu" not in jax.config.read("jax_platforms"):
+        jax.config.update("jax_platforms",
+                          jax.config.read("jax_platforms") + ",cpu")
+except Exception:
+    pass
 
 ANCHOR_ITERS_PER_S = 10.0
 NUM_SUPPORTS = (int(sys.argv[1])

@@ -720,6 +720,25 @@ class IpmSolver:
             log_delta_w=dw_used,
         )
 
+    def _compute_consts(self, theta, m):
+        """One-shot problem constants.  When the default device is an
+        accelerator behind a slow remote-compile path, trace/compile this
+        tiny module on the host CPU backend instead (its output transfers
+        once); falls back to the default device transparently."""
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        default = jax.devices()[0]
+        if cpu is None or default.platform == "cpu":
+            return self._consts_jit(theta, m.x0, m.lvar, m.uvar)
+        with jax.default_device(cpu):
+            host = jax.jit(self._make_consts)(
+                np.asarray(theta), np.asarray(m.x0), np.asarray(m.lvar),
+                np.asarray(m.uvar))
+        return {k: jax.device_put(np.asarray(v), default)
+                for k, v in host.items()}
+
     # ------------------------------------------------------------------
     # checkpoint / resume (SURVEY.md §5: the reference has only in-memory
     # warm restart; long IPM runs on pods need preemption-safe state)
@@ -743,7 +762,7 @@ class IpmSolver:
         m = self.model
         t_start = time.time()
         theta = m.theta
-        consts = self._consts_jit(theta, m.x0, m.lvar, m.uvar)
+        consts = self._compute_consts(theta, m)
         x0 = m.x0 if x0 is None else jnp.asarray(x0, m.dtype)
         y0 = m.y0 if y0 is None else jnp.asarray(y0, m.dtype)
         # internal y is for the scaled problem: y_scaled = y_user*sf/sc*sense
