@@ -132,10 +132,6 @@ DEFAULTS = dict(
 )
 
 
-def _safe_div(a, b, mask):
-    return jnp.where(mask, a / jnp.where(mask, b, 1.0), 0.0)
-
-
 class IpmSolver:
     """Interior-point solver over a :class:`SimdModel`.
 

@@ -106,3 +106,39 @@ def test_warmstart_fewer_iters():
     assert warm.status == "first_order"
     assert warm.iter < cold.iter
     assert warm.objective == pytest.approx(cold.objective, abs=1e-6)
+
+
+def test_max_iter_status():
+    core = Core()
+    x = core.add_var((4,), lvar=1.0, uvar=5.0,
+                     start=np.array([1.0, 5.0, 5.0, 1.0]), name="x")
+    core.add_obj(x[0] * x[3] * (x[0] + x[1] + x[2]) + x[2])
+    core.add_con(x[0] * x[1] * x[2] * x[3], lcon=25.0, ucon=np.inf)
+    m = core.build()
+    res = IpmSolver(m, print_level=0, max_iter=2).solve()
+    assert res.status == "max_iter"
+    assert res.iter == 2
+
+
+def test_max_wall_time_status():
+    core = Core()
+    n = 50
+    x = core.add_var((n,), name="x")
+    itr = Iterator({"i": np.arange(1, n)})
+    core.add_con(x[SRC.i] - x[SRC.i - 1] * x[SRC.i - 1], itr,
+                 lcon=0.1, ucon=0.1)
+    core.add_obj(abs2(x[SRC.i] - 2.0), Iterator({"i": np.arange(n)}))
+    m = core.build()
+    res = IpmSolver(m, print_level=0, max_wall_time=1e-9).solve()
+    assert res.status == "max_time"
+
+
+def test_unbounded_detection():
+    core = Core()
+    x = core.add_var((), name="x")
+    core.add_obj(x.entry())          # min x, unbounded below
+    m = core.build()
+    res = IpmSolver(m, print_level=0, max_iter=500).solve()
+    assert res.status in ("unbounded", "max_iter", "stalled")
+    if res.status == "unbounded":
+        assert res.objective < -1e19
