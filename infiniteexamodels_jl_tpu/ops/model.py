@@ -138,6 +138,38 @@ class SimdModel:
         return jnp.concatenate(
             [self._fam_vals(f, x, theta) for f in self.con_fams])
 
+    # -- fused value+derivative sweeps (one trace per family instead of
+    # two; halves the per-family kernel count in the jitted IPM step) -----
+    def obj_and_grad(self, x, theta):
+        total = jnp.zeros((), self.dtype)
+        g = jnp.zeros(self.nvar, self.dtype)
+        for fam in self.obj_fams:
+            xg, pg, fv = self._gather(fam, x, theta)
+            if fam.kx == 0:
+                total = total + jnp.sum(jax.vmap(fam.fn)(xg, pg, fv))
+                continue
+            v, gv = jax.vmap(jax.value_and_grad(fam.fn))(xg, pg, fv)
+            total = total + jnp.sum(v)
+            vidx = self._fam_dev[id(fam)][0]
+            g = g.at[vidx.reshape(-1)].add(gv.reshape(-1))
+        return total, g
+
+    def cons_and_jac(self, x, theta):
+        vals, jparts = [], []
+        for fam in self.con_fams:
+            xg, pg, fv = self._gather(fam, x, theta)
+            if fam.kx == 0:
+                vals.append(jax.vmap(fam.fn)(xg, pg, fv))
+                continue
+            v, gv = jax.vmap(jax.value_and_grad(fam.fn))(xg, pg, fv)
+            vals.append(v)
+            jparts.append(gv.reshape(-1))
+        cval = (jnp.concatenate(vals) if vals
+                else jnp.zeros(0, self.dtype))
+        jvals = (jnp.concatenate(jparts) if jparts
+                 else jnp.zeros(0, self.dtype))
+        return cval, jvals
+
     def jac_vals(self, x, theta):
         """Values matching (jac_rows, jac_cols)."""
         parts = []

@@ -15,12 +15,26 @@ the MXU:
 
 - high-degree variables form the border (first-stage coupling),
 - the remaining T-subgraph is split into connected components: many small
-  components (scenarios) -> component-aligned blocks, selL empty, batched
-  (vmap) Cholesky -- embarrassingly parallel over blocks and shardable over
-  a device mesh; one big component (time) -> reverse-Cuthill-McKee band,
-  scan-based blocked Cholesky,
+  components (scenarios) -> component-aligned blocks, batched inverse-SPD
+  per block -- embarrassingly parallel over blocks and shardable over a
+  device mesh; one big component (time) -> reverse-Cuthill-McKee band,
+  **block cyclic reduction** (log-depth, batched matmuls on the MXU),
 - the border is eliminated with a dense Schur complement
-  S = C - Y^T Y, Y = L_T^{-1} B.
+  S = C - B^T T^{-1} B, with Z = T^{-1} B precomputed at factor time so the
+  per-solve border work is pure matmuls.
+
+Why BCR and explicit block inverses instead of a sequential blocked
+Cholesky scan: TPU triangular solves in (emulated) f64 are latency-bound,
+and a scan serializes ~nb of them per factorization plus 2*nb per
+triangular solve.  BCR halves the system log2(nb) times with *batched*
+operations; precomputing the eliminated blocks' inverses turns every BCR
+sweep -- and therefore every KKT solve, including the IPM's iterative
+refinement -- into a short chain of batched matmuls with no triangular
+solves at all.  The extra FLOPs (~2-3x) are noise next to the latency win.
+SPD-ness of every eliminated block is inherited from the regularized
+condensed KKT (Schur complements of SPD matrices are SPD), and the IPM's
+f64 iterative refinement + KKT-residual-based convergence test keep the
+explicit-inverse route honest.
 
 Everything is static-shape; per-iteration assembly is a handful of
 scatter-adds from the same per-family COO value stream the dense backend
@@ -34,6 +48,108 @@ import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
 from .kkt import DenseKKT
+
+
+# ----------------------------------------------------------------------
+# batched SPD helpers / block cyclic reduction
+# ----------------------------------------------------------------------
+def _chol_linv(D):
+    """Batched Cholesky D = L L^T plus the explicit triangular inverse
+    L^{-1} (one batched triangular solve against I).  Applying D^{-1} is
+    then two batched matmuls: D^{-1} b = L^{-T} (L^{-1} b)."""
+    L = jnp.linalg.cholesky(D)
+    eye = jnp.eye(D.shape[-1], dtype=D.dtype)
+    Linv = jsl.solve_triangular(L, jnp.broadcast_to(eye, D.shape),
+                                lower=True)
+    return L, Linv, jnp.all(jnp.isfinite(Linv))
+
+
+def _apply_inv(Linv, b):
+    """D^{-1} b from the stored triangular inverse (batched matmuls)."""
+    return jnp.einsum("kji,kjl,klr->kir", Linv, Linv, b)
+
+
+def _bcr_factor(D, E):
+    """Block-cyclic-reduction factorization of the SPD block-tridiagonal
+    matrix with diagonal blocks ``D`` (nb, bs, bs) and sub-diagonal blocks
+    ``E`` (nb-1, bs, bs) where ``E[j]`` couples row block j+1 to column
+    block j.
+
+    Stability note: the Schur updates of the surviving even blocks are
+    computed in *Gram form* -- with W1 = L^{-1} E_odd^T and
+    W2 = L^{-1} E_even (batched triangular solves at factor time), the
+    updates are ``-W^T W``, which cannot push a block spuriously indefinite
+    the way explicit-inverse sandwiches ``E D^{-1} E^T`` can.  The solve
+    phase then uses the stored explicit triangular inverses so every sweep
+    is pure batched matmuls.
+
+    Returns ``(levels, root, ok)``: per-level tuples
+    ``(Linv, E_odd, E_even)`` plus the root block's ``Linv``.  Depth is
+    ceil(log2(nb)); every level is batched."""
+    levels = []
+    ok = jnp.asarray(True)
+    while D.shape[0] > 1:
+        m = D.shape[0]
+        m_odd, m_even = m // 2, (m + 1) // 2
+        L, Linv, okl = _chol_linv(D[1::2])
+        ok = ok & okl
+        zpad = jnp.zeros((1,) + D.shape[1:], D.dtype)
+        Epad = jnp.concatenate([E, zpad])          # length m
+        E_odd = Epad[1::2]                         # (m_odd,) E[2k+1]
+        E_even = Epad[0::2][:m_odd]                # (m_odd,) E[2k]
+        levels.append((Linv, E_odd, E_even))
+        # Gram factors: W1 = L^{-1} E_odd^T, W2 = L^{-1} E_even
+        W1 = jsl.solve_triangular(L, jnp.swapaxes(E_odd, -1, -2),
+                                  lower=True)
+        W2 = jsl.solve_triangular(L, E_even, lower=True)
+        D_new = D[0::2]
+        # left term  E[2k-1] D^{-1} E[2k-1]^T = W1^T W1 -> index k (k>=1)
+        Lc = jnp.einsum("kja,kjb->kab", W1, W1)
+        D_new = D_new.at[1:].add(-Lc[:m_even - 1])
+        # right term E[2k]^T D^{-1} E[2k] = W2^T W2    -> index k (k<m_odd)
+        Rc = jnp.einsum("kja,kjb->kab", W2, W2)
+        D_new = D_new.at[:m_odd].add(-Rc)
+        # new coupling E'_k = -E[2k+1] D^{-1} E[2k] = -W1^T W2
+        if m_even > 1:
+            En = -jnp.einsum("kja,kjb->kab", W1, W2)
+            E = En[:m_even - 1]
+        else:
+            E = jnp.zeros((0,) + D.shape[1:], D.dtype)
+        D = D_new
+    _, root_linv, okr = _chol_linv(D)
+    return levels, root_linv, ok & okr
+
+
+def _bcr_solve(levels, root_linv, b):
+    """Solve T x = b given the BCR factorization; ``b`` is (nb, bs) or
+    (nb, bs, r).  Down-sweep + up-sweep, all batched matmuls."""
+    vec = b.ndim == 2
+    if vec:
+        b = b[..., None]
+    us = []
+    for Linv, E_odd, E_even in levels:
+        m = b.shape[0]
+        m_odd, m_even = m // 2, (m + 1) // 2
+        u = _apply_inv(Linv, b[1::2])
+        us.append(u)
+        b_new = b[0::2]
+        lc = jnp.einsum("kij,kjr->kir", E_odd, u)
+        b_new = b_new.at[1:].add(-lc[:m_even - 1])
+        rc = jnp.einsum("kji,kjr->kir", E_even, u)
+        b_new = b_new.at[:m_odd].add(-rc)
+        b = b_new
+    x = _apply_inv(root_linv, b)
+    for (Linv, E_odd, E_even), u in zip(reversed(levels), reversed(us)):
+        m_odd = u.shape[0]
+        m_even = x.shape[0]
+        xpad = jnp.concatenate(
+            [x, jnp.zeros((1,) + x.shape[1:], x.dtype)])
+        t1 = jnp.einsum("kij,kjr->kir", E_even, x[:m_odd])
+        t2 = jnp.einsum("kji,kjr->kir", E_odd, xpad[1:1 + m_odd])
+        x_odd = u - _apply_inv(Linv, t1 + t2)
+        xn = jnp.zeros((m_even + m_odd,) + x.shape[1:], x.dtype)
+        x = xn.at[0::2].set(x).at[1::2].set(x_odd)
+    return x[..., 0] if vec else x
 
 
 def _round_up(x, m):
@@ -218,153 +334,92 @@ class BlockTridiagKKT:
         D, L, B, C = K
         nb, bs, mB = self.nb, self.bs, self.mB
 
+        # Jacobi (symmetric diagonal) equilibration -- ALWAYS.  The
+        # condensed KKT carries ~1/delta_c (1e8+) diagonal entries from the
+        # lifted equalities; the explicit-inverse BCR (unlike backward-
+        # stable triangular solves) needs the per-block conditioning tamed
+        # or the IPM's Newton steps lose too many digits for the iterative
+        # refinement to recover.  With ``factor_dtype`` set, the equilibrated
+        # blocks are additionally cast so the factorization runs on the
+        # native low-precision hardware path.
+        dg = jnp.abs(jnp.einsum("bii->bi", D))
+        sT = 1.0 / jnp.sqrt(jnp.maximum(dg, 1e-30))      # (nb, bs)
+        D = D * sT[:, :, None] * sT[:, None, :]
+        if nb > 1 and not self.block_diag:
+            L = L * sT[1:, :, None] * sT[:-1, None, :]
+        if mB:
+            sB = 1.0 / jnp.sqrt(jnp.maximum(jnp.abs(jnp.diag(C)), 1e-30))
+            B = B * sT[:, :, None] * sB[None, None, :]
+            C = C * sB[:, None] * sB[None, :]
+        else:
+            sB = jnp.zeros(0, D.dtype)
         if self.factor_dtype is not None and self.factor_dtype != D.dtype:
-            # Jacobi (symmetric diagonal) equilibration, then cast: the
-            # low-precision factorization runs on the native hardware path;
-            # the IPM's refinement against the f64 matvec restores accuracy
-            dg = jnp.abs(jnp.einsum("bii->bi", D))
-            sT = 1.0 / jnp.sqrt(jnp.maximum(dg, 1e-30))      # (nb, bs)
-            D = D * sT[:, :, None] * sT[:, None, :]
-            if nb > 1 and not self.block_diag:
-                L = L * sT[1:, :, None] * sT[:-1, None, :]
-            if mB:
-                sB = 1.0 / jnp.sqrt(jnp.maximum(jnp.abs(jnp.diag(C)),
-                                                1e-30))
-                B = B * sT[:, :, None] * sB[None, None, :]
-                C = C * sB[:, None] * sB[None, :]
-            else:
-                sB = jnp.zeros(0, D.dtype)
             fdt = self.factor_dtype
             D, L, B, C = (D.astype(fdt), L.astype(fdt), B.astype(fdt),
                           C.astype(fdt))
-        else:
-            sT = sB = None
 
         if self.block_diag:
-            # batched over blocks: embarrassingly parallel on the MXU and
-            # shardable over a scenario mesh axis
-            Lc_all = jnp.linalg.cholesky(D)
-            Ltil_all = jnp.zeros((0, bs, bs), D.dtype)
-            if mB:
-                Y = jsl.solve_triangular(Lc_all, B, lower=True)
-            else:
-                Y = jnp.zeros((nb, bs, 0), D.dtype)
+            # batched per-block Cholesky + explicit triangular inverses:
+            # embarrassingly parallel on the MXU and shardable over a
+            # scenario mesh axis; solves become matmuls
+            _, Linv, ok = _chol_linv(D)
+            tfac = (Linv,)
+            Z = _apply_inv(Linv, B) if mB else \
+                jnp.zeros((nb, bs, 0), D.dtype)
         else:
-            def step(carry, inp):
-                Lprev = carry
-                Di, Li = inp
-                Ltil = jsl.solve_triangular(Lprev, Li.T, lower=True).T
-                Lc = jnp.linalg.cholesky(Di - Ltil @ Ltil.T)
-                return Lc, (Lc, Ltil)
-
-            L0 = jnp.linalg.cholesky(D[0])
-            if nb > 1:
-                _, (Lcs, Ltils) = jax.lax.scan(step, L0,
-                                               (D[1:], L[:nb - 1]))
-                Lc_all = jnp.concatenate([L0[None], Lcs])
-                Ltil_all = Ltils
-            else:
-                Lc_all = L0[None]
-                Ltil_all = jnp.zeros((0, bs, bs), D.dtype)
-            if mB:
-                def fwd_step(carry, inp):
-                    Yprev = carry
-                    Lc, Ltil, Bi = inp
-                    Yi = jsl.solve_triangular(Lc, Bi - Ltil @ Yprev,
-                                              lower=True)
-                    return Yi, Yi
-
-                Y0 = jsl.solve_triangular(Lc_all[0], B[0], lower=True)
-                if nb > 1:
-                    _, Yrest = jax.lax.scan(
-                        fwd_step, Y0, (Lc_all[1:], Ltil_all, B[1:]))
-                    Y = jnp.concatenate([Y0[None], Yrest])
-                else:
-                    Y = Y0[None]
-            else:
-                Y = jnp.zeros((nb, bs, 0), D.dtype)
+            levels, root_inv, ok = _bcr_factor(D, L[:nb - 1])
+            tfac = (levels, root_inv)
+            Z = _bcr_solve(levels, root_inv, B) if mB else \
+                jnp.zeros((nb, bs, 0), D.dtype)
 
         if mB:
-            S = C - jnp.einsum("bij,bik->jk", Y, Y)
+            # S = C - B^T T^{-1} B; border solves reduce to matmuls with Z
+            S = C - jnp.einsum("bij,bik->jk", B, Z)
             Ls = jnp.linalg.cholesky(S)
+            ok = ok & jnp.all(jnp.isfinite(Ls))
         else:
             Ls = jnp.zeros((0, 0), D.dtype)
-
-        ok = jnp.all(jnp.isfinite(Lc_all))
-        if mB:
-            ok = ok & jnp.all(jnp.isfinite(Ls))
-        return (Lc_all, Ltil_all, Y, Ls, sT, sB), ok
+        return (tfac, Z, Ls, sT, sB), ok
 
     # ------------------------------------------------------------------
-    def _t_forward(self, Lc_all, Ltil_all, r):
-        """Solve L_T u = r over blocks (r: (nb, bs, 1))."""
-        nb = self.nb
+    def _t_solve(self, tfac, r):
+        """Solve T u = r (r: (nb, bs) or (nb, bs, k)) -- batched matmuls."""
+        vec = r.ndim == 2
         if self.block_diag:
-            return jsl.solve_triangular(Lc_all, r, lower=True)
-
-        def step(carry, inp):
-            uprev = carry
-            Lc, Ltil, ri = inp
-            ui = jsl.solve_triangular(Lc, ri - Ltil @ uprev, lower=True)
-            return ui, ui
-
-        u0 = jsl.solve_triangular(Lc_all[0], r[0], lower=True)
-        if nb > 1:
-            _, urest = jax.lax.scan(step, u0, (Lc_all[1:], Ltil_all, r[1:]))
-            return jnp.concatenate([u0[None], urest])
-        return u0[None]
-
-    def _t_backward(self, Lc_all, Ltil_all, u):
-        """Solve L_T^T x = u over blocks (backward)."""
-        nb = self.nb
-        if self.block_diag:
-            return jsl.solve_triangular(
-                jnp.swapaxes(Lc_all, -1, -2), u, lower=False)
-        xlast = jsl.solve_triangular(Lc_all[-1].T, u[-1], lower=False)
-        if nb == 1:
-            return xlast[None]
-
-        def step(carry, inp):
-            xnext = carry
-            Lc, Ltil, ui = inp
-            xi = jsl.solve_triangular(Lc.T, ui - Ltil.T @ xnext,
-                                      lower=False)
-            return xi, xi
-
-        _, xrest = jax.lax.scan(
-            step, xlast,
-            (Lc_all[:-1][::-1], Ltil_all[::-1], u[:-1][::-1]))
-        return jnp.concatenate([xrest[::-1], xlast[None]])
+            (Linv,) = tfac
+            out = _apply_inv(Linv, r[..., None] if vec else r)
+            return out[..., 0] if vec else out
+        levels, root_linv = tfac
+        return _bcr_solve(levels, root_linv, r)
 
     def solve(self, fac, rhs):
-        Lc_all, Ltil_all, Y, Ls, sT, sB = fac
+        tfac, Z, Ls, sT, sB = fac
         nb, bs, mB = self.nb, self.bs, self.mB
         dt = rhs.dtype
-        fdt = Lc_all.dtype
+        fdt = Z.dtype
         rT = jnp.zeros(self.nTpad, dt).at[self.t_slots].set(
-            rhs[self.t_ids]).reshape(nb, bs, 1)
+            rhs[self.t_ids]).reshape(nb, bs)
         if sT is not None:
-            rT = (rT * sT[:, :, None]).astype(fdt)
+            rT = (rT * sT).astype(fdt)
         else:
             rT = rT.astype(fdt)
+        u = self._t_solve(tfac, rT)                   # (nb, bs)
         if mB:
             rB = rhs[self.b_ids]
             if sB is not None:
                 rB = (rB * sB)
             rB = rB.astype(fdt)
-            u = self._t_forward(Lc_all, Ltil_all, rT)
-            rhs2 = rB - jnp.einsum("bij,bik->j", Y, u)
+            # x_B = S^{-1} (r_B - Z^T r_T);  x_T = u - Z x_B
+            rhs2 = rB - jnp.einsum("bij,bi->j", Z, rT)
             z2 = jsl.solve_triangular(Ls, rhs2, lower=True)
             x2 = jsl.solve_triangular(Ls.T, z2, lower=False)
-            x1 = self._t_backward(Lc_all, Ltil_all,
-                                  u - (Y @ x2)[..., None])
+            x1 = u - jnp.einsum("bij,j->bi", Z, x2)
         else:
-            u = self._t_forward(Lc_all, Ltil_all, rT)
-            x1 = self._t_backward(Lc_all, Ltil_all, u)
+            x1 = u
             x2 = jnp.zeros(0, dt)
         x1 = x1.astype(dt)
         if sT is not None:
-            x1 = x1 * sT[:, :, None]
+            x1 = x1 * sT
         out = jnp.zeros(self.n, dt)
         out = out.at[self.t_ids].set(x1.reshape(-1)[self.t_slots])
         if mB:

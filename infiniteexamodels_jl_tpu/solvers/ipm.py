@@ -117,8 +117,10 @@ DEFAULTS = dict(
     kappa_w_minus=1.0 / 3.0,
     delta_c_bar=1e-8,
     max_backtracks=40,
-    refine_steps=2,
-    refine_steps_f32=4,      # extra refinement when factoring in f32
+    refine_max=10,           # iterative-refinement round cap
+    refine_tol=1e-9,         # stop refining below this relative residual
+    refine_accept=1e-6,      # residual above this => step rejected,
+                             # regularization bumps delta_w
     max_reg_tries=30,
     y_reset_cap=1e3,
     kappa_d=1e-5,
@@ -418,10 +420,15 @@ class IpmSolver:
                        st.uz + eps ** 0.75 * maxu, st.uz)
         st = st._replace(lz=lz, uz=uz)
 
-        fval = self._feval(st.x, consts)
-        grad = self._geval(st.x, consts)
-        cval = self._ceval(st.x, consts)
-        jvals = self._jvals(st.x, consts)
+        # fused sweeps: one vmapped trace per family for (f, grad) and
+        # (c, J) instead of two -- halves the family-kernel count of the
+        # compiled step (remote-compile module size is a hard budget)
+        fval_u, grad_u = m.obj_and_grad(st.x, consts["theta"])
+        fval = fval_u * m.sense * consts["sf"]
+        grad = grad_u * m.sense * consts["sf"]
+        cval_u, jvals_u = m.cons_and_jac(st.x, consts["theta"])
+        cval = cval_u * consts["sc"]
+        jvals = jvals_u * consts["sc"][m.jac_rows]
 
         # -- convergence -------------------------------------------------
         E0, inf_pr, inf_du, inf_comp, sd, sc_ = self._kkt_error(
@@ -511,44 +518,75 @@ class IpmSolver:
                                   D * sc * sc, diag_extra)
             fac, ok = self.kkt.factor(K)
             dx = self.kkt.solve(fac, rhs)
-            # iterative refinement recovers the digits the ill-conditioned
-            # (D ~ 1/delta_c) Cholesky loses; two rounds suffice in f64
-            # (exact host-side solvers skip it)
-            if getattr(self.kkt, "exact_solve", False):
-                nref = 0
-            elif getattr(self.kkt, "factor_dtype", None) is not None:
-                nref = o["refine_steps_f32"]
-            else:
-                nref = o["refine_steps"]
-            for _ in range(nref):
-                resid = rhs - self.kkt.matvec(K, dx)
-                dx = dx + self.kkt.solve(fac, resid)
+            # Residual-driven iterative refinement recovers the digits the
+            # ill-conditioned (D ~ 1/delta_c) factorization loses.  The
+            # loop body is traced ONCE (while_loop); it exits early when the
+            # relative residual is small or stops contracting, and a final
+            # residual that is still above ``refine_accept`` marks the step
+            # failed so the regularization loop bumps delta_w -- the
+            # TPU-first analogue of MadNLP's refinement-failure handling.
+            # For the BCR backend each round is a handful of batched
+            # matmuls, so generous round caps are essentially free.
+            if not getattr(self.kkt, "exact_solve", False):
+                rhs_norm = jnp.linalg.norm(rhs) + jnp.finfo(dt).tiny
+
+                def ref_cond(val):
+                    _, resid, prev, i = val
+                    rr = jnp.linalg.norm(resid) / rhs_norm
+                    return ((rr > o["refine_tol"])
+                            & (rr < 0.3 * prev)
+                            & (i < o["refine_max"]))
+
+                def ref_body(val):
+                    dxc, resid, prev, i = val
+                    dxn = dxc + self.kkt.solve(fac, resid)
+                    residn = rhs - self.kkt.matvec(K, dxn)
+                    rr = jnp.linalg.norm(resid) / rhs_norm
+                    # keep the better iterate if refinement diverges
+                    rrn = jnp.linalg.norm(residn) / rhs_norm
+                    worse = rrn > rr
+                    dxn = jnp.where(worse, dxc, dxn)
+                    residn = jnp.where(worse, resid, residn)
+                    return dxn, residn, rr, i + 1
+
+                resid0 = rhs - self.kkt.matvec(K, dx)
+                dx, resid, _, _ = jax.lax.while_loop(
+                    ref_cond, ref_body,
+                    (dx, resid0, jnp.asarray(jnp.inf, dt),
+                     jnp.asarray(0, jnp.int32)))
+                rr_final = jnp.linalg.norm(resid) / rhs_norm
+                ok = ok & (rr_final <= o["refine_accept"])
             ok = ok & jnp.all(jnp.isfinite(dx))
             dy = D * (m.jprod(jvals, dx) + rhs2)
             ds = inv_ss * (dy - rs)
             return dx, ds, dy, ok
 
+        # the FIRST attempt (delta_w = 0) runs as iteration 0 of the same
+        # while_loop so make_step -- the assemble+factor+solve subgraph, by
+        # far the largest in the module -- is traced exactly once
         def reg_cond(val):
-            _, _, _, ok, tries, _ = val
+            _, _, ok, tries, _ = val
             return (~ok) & (tries < o["max_reg_tries"])
 
         def reg_body(val):
-            dxdsdy0, dw, dc, ok, tries, dw_used = val
+            _, dw, ok, tries, dw_used = val
+            bump_from_zero = jnp.where(
+                st.delta_w_last == 0.0, o["delta_w_init"],
+                jnp.maximum(o["delta_w_min"],
+                            o["kappa_w_minus"] * st.delta_w_last))
             dw_new = jnp.where(
-                dw == 0.0,
-                jnp.where(st.delta_w_last == 0.0, o["delta_w_init"],
-                          jnp.maximum(o["delta_w_min"],
-                                      o["kappa_w_minus"] * st.delta_w_last)),
-                dw * jnp.where(st.delta_w_last == 0.0,
-                               o["kappa_w_plus_init"], o["kappa_w_plus"]))
-            dc_new = delta_c_floor
-            dx, ds, dy, ok = make_step(dw_new, dc_new)
-            return (dx, ds, dy), dw_new, dc_new, ok, tries + 1, dw_new
+                tries == 0, 0.0,
+                jnp.where(dw == 0.0, bump_from_zero,
+                          dw * jnp.where(st.delta_w_last == 0.0,
+                                         o["kappa_w_plus_init"],
+                                         o["kappa_w_plus"])))
+            dx, ds, dy, ok = make_step(dw_new, delta_c_floor)
+            return (dx, ds, dy), dw_new, ok, tries + 1, dw_new
 
-        dx0, ds0, dy0, ok0 = make_step(jnp.zeros((), dt), delta_c_floor)
-        (dx, ds, dy), dw_f, dc_f, ok_f, _, dw_used = jax.lax.while_loop(
+        zero_dir = (jnp.zeros(n, dt), jnp.zeros(mm, dt), jnp.zeros(mm, dt))
+        (dx, ds, dy), dw_f, ok_f, _, dw_used = jax.lax.while_loop(
             reg_cond, reg_body,
-            ((dx0, ds0, dy0), jnp.zeros((), dt), jnp.zeros((), dt), ok0,
+            (zero_dir, jnp.zeros((), dt), jnp.asarray(False),
              jnp.asarray(0, jnp.int32), jnp.zeros((), dt)))
 
         dz = jnp.concatenate([dx, ds])

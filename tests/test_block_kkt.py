@@ -64,7 +64,9 @@ def test_ipm_with_block_kkt_matches_dense():
     m2.set_silent()
     res_bt = m2.optimize()
     assert res_bt.status == "first_order"
-    assert res_bt.objective == pytest.approx(res_dense.objective, abs=1e-8)
+    # both runs are tol=1e-8 first_order certificates of *different*
+    # factorization routes; their objectives agree only to O(tol)
+    assert res_bt.objective == pytest.approx(res_dense.objective, abs=1e-7)
     np.testing.assert_allclose(res_bt.solution, res_dense.solution,
                                atol=1e-6)
 
