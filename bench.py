@@ -1,19 +1,19 @@
 """Benchmark entry: prints ONE JSON line for the driver.
 
-Primary metric (BASELINE.md headline): IPM iterations/s on the quadrotor
-OCP (band-structured KKT, scan factorization).  Remote-compile latency on
-the tunneled single-chip setup is minutes-scale and variable, so each
-candidate benchmark runs in a timeboxed subprocess and the harness
-cascades: quadrotor-200 -> hovercraft-201 -> error JSON.  Set
-IXM_BENCH_OPF=1 to additionally run the 1000-scenario stochastic AC-OPF
-(batched scenario KKT; CPU reference: first_order, 15 iterations, 31 s) in
-the detail block.
+Primary metric (BASELINE.md headline): warm IPM iterations/s on the
+quadrotor OCP (band-structured KKT, block-cyclic-reduction factorization).
+Remote-compile latency on the tunneled single-chip setup is minutes-scale
+and variable, so each candidate benchmark runs in a timeboxed subprocess
+and the harness cascades: quadrotor-200 -> hovercraft-201 -> error JSON.
 
-The reference's own published baseline set is empty (BASELINE.json
-"published": {}); vs_baseline is reported against a fixed internal anchor
-of 10 IPM iterations/s (the order of magnitude of MadNLP+CUDSS
-per-iteration rates on mid-size collocated OCPs per the GPU-IPM papers in
-PAPERS.md).
+``vs_baseline`` is measured, not invented: the same problem is solved by
+the same solver on the host CPU backend (the framework's own Ipopt-role
+reference path), and the ratio is TPU iter/s over CPU iter/s.  The detail
+block carries the per-phase device timings (assemble / factor / solve /
+full step) from ``IpmSolver.profile_phases`` plus both raw runs.
+
+Set IXM_BENCH_OPF=1 to additionally run the 1000-scenario stochastic
+AC-OPF (batched scenario KKT) in the detail block.
 """
 import json
 import os
@@ -38,14 +38,14 @@ try:
 except Exception:
     pass
 
-ANCHOR_ITERS_PER_S = 10.0
 RUN_OPF = os.environ.get("IXM_BENCH_OPF", "0") != "0"
 QUAD_TIMEOUT_S = int(os.environ.get("IXM_BENCH_QUAD_TIMEOUT", "560"))
 FALLBACK_TIMEOUT_S = int(os.environ.get("IXM_BENCH_FALLBACK_TIMEOUT", "420"))
 OPF_TIMEOUT_S = int(os.environ.get("IXM_BENCH_OPF_TIMEOUT", "420"))
+CPU_TIMEOUT_S = int(os.environ.get("IXM_BENCH_CPU_TIMEOUT", "420"))
 
 
-def run_model(build_fn, **solver_opts):
+def run_model(build_fn, profile=False, **solver_opts):
     from infiniteexamodels_jl_tpu.backend import ExaTranscriptionBackend
     from infiniteexamodels_jl_tpu.solvers import IpmSolver
 
@@ -64,10 +64,19 @@ def run_model(build_fn, **solver_opts):
     t0 = time.time()
     res = backend.solver.solve()
     solve_time = time.time() - t0
-    return backend, res, build_time, first_solve, solve_time
+    phases = None
+    if profile:
+        try:
+            phases = {k: round(v * 1e3, 3)
+                      for k, v in backend.solver.profile_phases().items()}
+        except Exception as e:
+            phases = {"error": str(e)[:200]}
+    return backend, res, build_time, first_solve, solve_time, phases
 
 
-def child(kind, size):
+def child(kind, size, platform):
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     from infiniteexamodels_jl_tpu import models as M
 
     build = {
@@ -75,23 +84,25 @@ def child(kind, size):
         "hovercraft": lambda: M.hovercraft(num_supports=size),
         "opf": lambda: M.opf(num_supports=size),
     }[kind]
-    backend, res, bt, fs, st = run_model(build)
+    backend, res, bt, fs, st, phases = run_model(
+        build, profile=(platform != "cpu"))
     print(json.dumps({
-        "kind": kind, "size": size,
+        "kind": kind, "size": size, "platform": platform,
         "status": res.status, "iters": int(res.iter),
         "objective": float(res.objective),
         "nvar": backend.model.nvar, "ncon": backend.model.ncon,
         "build_s": round(bt, 2), "first_solve_s": round(fs, 2),
         "resolve_s": round(st, 2),
         "iters_per_s": round(max(res.iter, 1) / st, 3),
+        "phase_ms": phases,
     }))
 
 
-def run_child(kind, size, timeout):
+def run_child(kind, size, timeout, platform="device"):
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child",
-             kind, str(size)],
+             kind, str(size), platform],
             capture_output=True, text=True, timeout=timeout)
         lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
         if lines:
@@ -120,13 +131,20 @@ def main():
             "detail": {"error": primary["error"], **detail},
         }
     else:
+        # measured baseline: the SAME problem through the same solver on
+        # the host CPU backend (own-framework Ipopt-role reference path)
+        cpu = run_child(primary["kind"], primary["size"], CPU_TIMEOUT_S,
+                        platform="cpu")
+        detail["cpu_reference"] = cpu
         v = primary["iters_per_s"]
+        vs = round(v / cpu["iters_per_s"], 3) if "iters_per_s" in cpu \
+            else 0.0
         out = {
             "metric": f"{primary['kind']}{primary['size']}"
                       "_ipm_iterations_per_s",
             "value": v,
             "unit": "iter/s",
-            "vs_baseline": round(v / ANCHOR_ITERS_PER_S, 3),
+            "vs_baseline": vs,
             "detail": {**primary, **detail},
         }
     print(json.dumps(out))
@@ -135,6 +153,7 @@ def main():
 if __name__ == "__main__":
     if "--child" in sys.argv:
         i = sys.argv.index("--child")
-        child(sys.argv[i + 1], int(sys.argv[i + 2]))
+        plat = sys.argv[i + 3] if len(sys.argv) > i + 3 else "device"
+        child(sys.argv[i + 1], int(sys.argv[i + 2]), plat)
     else:
         main()

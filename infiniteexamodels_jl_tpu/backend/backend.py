@@ -42,8 +42,14 @@ class ExaTranscriptionBackend:
     analogue of the reference's ``backend = CUDABackend()``
     (infiniteopt_backend.jl:97-131)."""
 
-    def __init__(self, solver_type=None, backend=None, **solver_options):
+    def __init__(self, solver_type=None, backend=None, mesh=None,
+                 **solver_options):
         self.device = backend
+        # device-mesh placement: family rows are padded to the mesh size and
+        # sharded at build; the structured KKT then factorizes scenario
+        # blocks mesh-distributed (the genuinely-new layer vs the
+        # single-device reference, SURVEY.md §2b)
+        self.mesh = mesh
         self.core = None           # ops.Core (host-side mutable data)
         self.model = None          # ops.SimdModel
         self.data = TranscriptionData()
@@ -80,7 +86,13 @@ class ExaTranscriptionBackend:
         inf_model = inf_model or self._inf_model
         self.empty()
         t0 = time.time()
-        self.model, self.data = transcribe(inf_model, device=self.device)
+        row_pad = self.mesh.devices.size if self.mesh is not None else 1
+        self.model, self.data = transcribe(inf_model, device=self.device,
+                                           row_pad=row_pad)
+        if self.mesh is not None:
+            from ..parallel import shard_model
+
+            shard_model(self.model, self.mesh)
         self.core = self.model.core
         self.build_time = time.time() - t0
         self.ready = True

@@ -274,7 +274,7 @@ class Core:
             part[:] = arr[pos:pos + len(part)]
             pos += len(part)
 
-    def build(self, dtype=None, device=None):
+    def build(self, dtype=None, device=None, row_pad=1):
         from .model import SimdModel
 
-        return SimdModel(self, dtype=dtype, device=device)
+        return SimdModel(self, dtype=dtype, device=device, row_pad=row_pad)

@@ -17,7 +17,7 @@ from .compile import CompiledFamily
 
 
 class SimdModel:
-    def __init__(self, core, dtype=None, device=None):
+    def __init__(self, core, dtype=None, device=None, row_pad=1):
         self.core = core
         self.dtype = dtype or jnp.float64
         self.device = device
@@ -25,6 +25,12 @@ class SimdModel:
         self.nvar = core.nvar
         self.ncon = core.ncon
         self.ntheta = core.ntheta
+        # family rows are padded up to a multiple of ``row_pad`` (repeating
+        # row 0's static indices -- no new sparsity-pattern entries) so
+        # every family can be sharded over a device mesh regardless of its
+        # logical row count; padded rows are masked out of scatter-adds and
+        # sliced off value outputs
+        self.row_pad = max(int(row_pad), 1)
 
         self.con_fams = [
             CompiledFamily(f.expr, f.itr, offset=f.offset, name=f.name)
@@ -44,12 +50,26 @@ class SimdModel:
             self.lcon = jnp.zeros(0, self.dtype)
             self.ucon = jnp.zeros(0, self.dtype)
 
-        # device copies of per-family static data
+        # device copies of per-family static data (padded), plus a row mask
+        # (None when no padding was needed)
         self._fam_dev = {}
         for fam in self.con_fams + self.obj_fams:
+            vidx, pidx, fdata = fam.vidx, fam.pidx, fam.fdata
+            mask = None
+            rp = self.row_pad
+            if rp > 1 and fam.n > 0 and fam.n % rp:
+                n_pad = ((fam.n + rp - 1) // rp) * rp
+                extra = n_pad - fam.n
+                vidx = np.concatenate([vidx, np.repeat(vidx[:1], extra, 0)])
+                pidx = np.concatenate([pidx, np.repeat(pidx[:1], extra, 0)])
+                fdata = np.concatenate(
+                    [fdata, np.repeat(fdata[:1], extra, 0)])
+                m_np = np.ones(n_pad)
+                m_np[fam.n:] = 0.0
+                mask = jnp.asarray(m_np, self.dtype)
             self._fam_dev[id(fam)] = (
-                jnp.asarray(fam.vidx), jnp.asarray(fam.pidx),
-                jnp.asarray(fam.fdata, self.dtype),
+                jnp.asarray(vidx), jnp.asarray(pidx),
+                jnp.asarray(fdata, self.dtype), mask,
             )
 
         # static sparsity patterns (numpy + device copies)
@@ -100,26 +120,34 @@ class SimdModel:
 
     # -- family building block ------------------------------------------
     def _gather(self, fam, x, theta):
-        vidx, pidx, fdata = self._fam_dev[id(fam)]
+        vidx, pidx, fdata, mask = self._fam_dev[id(fam)]
         return x[vidx], theta[pidx], fdata
 
+    def _fam_mask(self, fam):
+        return self._fam_dev[id(fam)][3]
+
     def _fam_vals(self, fam, x, theta):
+        """Template values over the LOGICAL rows (padding sliced off)."""
         xg, pg, fv = self._gather(fam, x, theta)
-        return jax.vmap(fam.fn)(xg, pg, fv)
+        return jax.vmap(fam.fn)(xg, pg, fv)[:fam.n]
 
     def _fam_grads(self, fam, x, theta):
         xg, pg, fv = self._gather(fam, x, theta)
-        return jax.vmap(jax.grad(fam.fn))(xg, pg, fv)     # (n, kx)
+        return jax.vmap(jax.grad(fam.fn))(xg, pg, fv)[:fam.n]  # (n, kx)
 
     def _fam_hess(self, fam, x, theta):
         xg, pg, fv = self._gather(fam, x, theta)
-        return jax.vmap(jax.hessian(fam.fn))(xg, pg, fv)  # (n, kx, kx)
+        return jax.vmap(jax.hessian(fam.fn))(xg, pg, fv)  # (n_pad, kx, kx)
 
     # -- evaluations (user sense; solvers fold in self.sense) ------------
     def obj(self, x, theta):
         total = jnp.zeros((), self.dtype)
         for fam in self.obj_fams:
-            total = total + jnp.sum(self._fam_vals(fam, x, theta))
+            xg, pg, fv = self._gather(fam, x, theta)
+            v = jax.vmap(fam.fn)(xg, pg, fv)
+            mask = self._fam_mask(fam)
+            total = total + (jnp.vdot(mask, v) if mask is not None
+                             else jnp.sum(v))
         return total
 
     def grad(self, x, theta):
@@ -127,7 +155,11 @@ class SimdModel:
         for fam in self.obj_fams:
             if fam.kx == 0:
                 continue
-            gv = self._fam_grads(fam, x, theta)
+            xg, pg, fv = self._gather(fam, x, theta)
+            gv = jax.vmap(jax.grad(fam.fn))(xg, pg, fv)
+            mask = self._fam_mask(fam)
+            if mask is not None:
+                gv = gv * mask[:, None]
             vidx = self._fam_dev[id(fam)][0]
             g = g.at[vidx.reshape(-1)].add(gv.reshape(-1))
         return g
@@ -145,11 +177,18 @@ class SimdModel:
         g = jnp.zeros(self.nvar, self.dtype)
         for fam in self.obj_fams:
             xg, pg, fv = self._gather(fam, x, theta)
+            mask = self._fam_mask(fam)
             if fam.kx == 0:
-                total = total + jnp.sum(jax.vmap(fam.fn)(xg, pg, fv))
+                v = jax.vmap(fam.fn)(xg, pg, fv)
+                total = total + (jnp.vdot(mask, v) if mask is not None
+                                 else jnp.sum(v))
                 continue
             v, gv = jax.vmap(jax.value_and_grad(fam.fn))(xg, pg, fv)
-            total = total + jnp.sum(v)
+            if mask is not None:
+                total = total + jnp.vdot(mask, v)
+                gv = gv * mask[:, None]
+            else:
+                total = total + jnp.sum(v)
             vidx = self._fam_dev[id(fam)][0]
             g = g.at[vidx.reshape(-1)].add(gv.reshape(-1))
         return total, g
@@ -159,11 +198,11 @@ class SimdModel:
         for fam in self.con_fams:
             xg, pg, fv = self._gather(fam, x, theta)
             if fam.kx == 0:
-                vals.append(jax.vmap(fam.fn)(xg, pg, fv))
+                vals.append(jax.vmap(fam.fn)(xg, pg, fv)[:fam.n])
                 continue
             v, gv = jax.vmap(jax.value_and_grad(fam.fn))(xg, pg, fv)
-            vals.append(v)
-            jparts.append(gv.reshape(-1))
+            vals.append(v[:fam.n])
+            jparts.append(gv[:fam.n].reshape(-1))
         cval = (jnp.concatenate(vals) if vals
                 else jnp.zeros(0, self.dtype))
         jvals = (jnp.concatenate(jparts) if jparts
@@ -185,14 +224,14 @@ class SimdModel:
         for fam in self.obj_fams:
             if fam.kx == 0:
                 continue
-            H = self._fam_hess(fam, x, theta)
+            H = self._fam_hess(fam, x, theta)[:fam.n]
             yield fam, sigma * H
 
     def _con_hess_parts(self, x, theta, lam):
         for fam in self.con_fams:
             if fam.kx == 0:
                 continue
-            H = self._fam_hess(fam, x, theta)
+            H = self._fam_hess(fam, x, theta)[:fam.n]
             w = jax.lax.dynamic_slice_in_dim(lam, fam.offset, fam.n)
             yield fam, w[:, None, None] * H
 
@@ -227,8 +266,8 @@ class SimdModel:
             if fam.kx == 0:
                 continue
             xg, pg, fv = self._gather(fam, x, theta)
-            H = jax.vmap(jax.hessian(fam.fn))(xg, pg, fv)
-            g = jax.vmap(jax.grad(fam.fn))(xg, pg, fv)
+            H = jax.vmap(jax.hessian(fam.fn))(xg, pg, fv)[:fam.n]
+            g = jax.vmap(jax.grad(fam.fn))(xg, pg, fv)[:fam.n]
             w = jax.lax.dynamic_slice_in_dim(lam, fam.offset, fam.n)
             dr = jax.lax.dynamic_slice_in_dim(d, fam.offset, fam.n)
             M = w[:, None, None] * H + dr[:, None, None] * (

@@ -31,8 +31,12 @@ def make_mesh(n_devices=None, axis="sp", devices=None):
 
 
 def shard_model(model, mesh, axis="sp"):
-    """Shard each family's row axis over ``axis`` (families whose row count
-    does not divide the mesh stay replicated); replicate flat vectors.
+    """Shard each family's row axis over ``axis``; replicate flat vectors.
+
+    With the model built with ``row_pad = mesh size`` every family's
+    (padded) row count divides the mesh, so NOTHING silently stays
+    replicated; an unpadded family whose row count does not divide the mesh
+    is the only fallback-to-replication case left.
 
     Returns the model (modified in place: device buffers are re-placed)."""
     nd = mesh.devices.size
@@ -40,27 +44,31 @@ def shard_model(model, mesh, axis="sp"):
     replicated = NamedSharding(mesh, P())
 
     for fam in model.con_fams + model.obj_fams:
-        vidx, pidx, fdata = model._fam_dev[id(fam)]
-        sh = row_sharding if (fam.n > 0 and fam.n % nd == 0) else replicated
+        vidx, pidx, fdata, mask = model._fam_dev[id(fam)]
+        n_dev = vidx.shape[0]           # padded row count
+        sh = row_sharding if (n_dev > 0 and n_dev % nd == 0) else replicated
         model._fam_dev[id(fam)] = (
             jax.device_put(vidx, sh),
             jax.device_put(pidx, sh),
             jax.device_put(fdata, sh),
+            None if mask is None else jax.device_put(mask, sh),
         )
     for attr in ("x0", "lvar", "uvar", "theta", "lcon", "ucon",
                  "jac_rows", "jac_cols", "y0"):
         setattr(model, attr, jax.device_put(getattr(model, attr),
                                             replicated))
     model.mesh = mesh
+    model.mesh_axis = axis
     return model
 
 
 def sharded_fraction(model, mesh):
-    """Fraction of family rows that actually got sharded (diagnostics)."""
+    """Fraction of (logical) family rows that actually got sharded."""
     nd = mesh.devices.size
     total = sharded = 0
     for fam in model.con_fams + model.obj_fams:
+        n_dev = model._fam_dev[id(fam)][0].shape[0]
         total += fam.n
-        if fam.n > 0 and fam.n % nd == 0:
+        if n_dev > 0 and n_dev % nd == 0:
             sharded += fam.n
     return sharded / max(total, 1)

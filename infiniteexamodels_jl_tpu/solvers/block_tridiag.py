@@ -168,9 +168,16 @@ class BlockTridiagKKT:
     """
 
     def __init__(self, model, max_block=512, min_blocks=4, max_border=4096,
-                 factor_dtype=None):
+                 factor_dtype=None, mesh=None, mesh_axis="sp"):
         self.factor_dtype = factor_dtype
         self.model = model
+        # device-mesh distribution of the block-diagonal (scenario) factor:
+        # sharding constraints on the (nb, bs, bs) block axis let GSPMD run
+        # the batched Cholesky/inverse per-device and psum-reduce the dense
+        # Schur corner S = C - B^T T^-1 B over the mesh (SURVEY.md §7.6)
+        self.mesh = mesh if mesh is not None else getattr(model, "mesh", None)
+        self.mesh_axis = mesh_axis if mesh is not None else \
+            getattr(model, "mesh_axis", mesh_axis)
         n = model.nvar
         rows = model.hess_rows_np
         cols = model.hess_cols_np
@@ -219,14 +226,40 @@ class BlockTridiagKKT:
             slot[t_ids] = labels * bs + offsets[t_ids]
             self.mode = "block_diag"
         else:
-            # time mode: RCM band ordering
-            perm = reverse_cuthill_mckee(sub, symmetric_mode=True)
-            t_order_band = t_ids[perm]
-            pos = np.full(n, -1, dtype=np.int64)
-            pos[t_order_band] = np.arange(nT)
+            # time mode: band ordering.  Two candidates, smaller bandwidth
+            # wins -- factor cost scales with bs^2 * nT:
+            # (a) reverse Cuthill-McKee on the T-subgraph (general), and
+            # (b) support-interleaved order (variables sorted by relative
+            #     position within their tensor, i.e. time-major across all
+            #     state/control/derivative tensors) -- on transcribed OCPs
+            #     this groups each support's variables together and often
+            #     beats the RCM heuristic by 2-3x.
             tt = t_mask[rows] & t_mask[cols]
-            bw = int(np.max(np.abs(pos[rows[tt]] - pos[cols[tt]]),
-                            initial=0))
+
+            def band_of(order):
+                pos = np.full(n, -1, dtype=np.int64)
+                pos[order] = np.arange(len(order))
+                return pos, int(np.max(np.abs(pos[rows[tt]] - pos[cols[tt]]),
+                                       initial=0))
+
+            perm = reverse_cuthill_mckee(sub, symmetric_mode=True)
+            pos_rcm, bw_rcm = band_of(t_ids[perm])
+            pos_int = bw_int = None
+            variables = getattr(getattr(model, "core", None),
+                                "variables", None)
+            if variables:
+                frac = np.zeros(n)
+                vid = np.zeros(n, dtype=np.int64)
+                for v in variables:
+                    sl = slice(v.offset, v.offset + v.length)
+                    frac[sl] = np.arange(v.length) / max(v.length, 1)
+                    vid[sl] = v.vid
+                key = np.lexsort((vid[t_ids], frac[t_ids]))
+                pos_int, bw_int = band_of(t_ids[key])
+            if bw_int is not None and bw_int < bw_rcm:
+                pos, bw = pos_int, bw_int
+            else:
+                pos, bw = pos_rcm, bw_rcm
             bs = _round_up(max(bw, 1) + 1, 8)
             nb = max((nT + bs - 1) // bs, 1)
             slot[t_ids] = pos[t_ids]
@@ -272,6 +305,13 @@ class BlockTridiagKKT:
         self.B_idx = (as_j(pr[selB]), as_j(bpos[cc[selB]]))
         self.C_idx = (as_j(bpos[rr[selC]]), as_j(bpos[cc[selC]]))
 
+        # mesh-distributed factorization applies when the scenario-block
+        # axis divides the mesh (block_diag mode; band stays single-device
+        # until time-block partitioning lands)
+        self._mesh_ok = (
+            self.mesh is not None and self.block_diag
+            and nb % self.mesh.devices.size == 0)
+
         # scatter targets for diagonal additions + rhs permutation
         self.t_ids_np = t_ids
         self.t_ids = as_j(t_ids)
@@ -286,6 +326,18 @@ class BlockTridiagKKT:
         self.pad_eye = as_j(np.einsum("bi,ij->bij", pad, np.eye(bs)))
 
     # ------------------------------------------------------------------
+    def _block_sharded(self, arr):
+        """Constrain a block-batched array's leading (scenario) axis to the
+        mesh; identity when no mesh applies."""
+        if not self._mesh_ok:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = PartitionSpec(self.mesh_axis,
+                             *([None] * (arr.ndim - 1)))
+        return jax.lax.with_sharding_constraint(
+            arr, NamedSharding(self.mesh, spec))
+
     def assemble(self, x, theta, lam, sigma, d, diag_extra):
         m = self.model
         vals = m.kkt_vals(x, theta, lam, sigma, d)
@@ -303,7 +355,9 @@ class BlockTridiagKKT:
                  self.diagD_idx[1]].add(dT)
         D = D + self.pad_eye
         C = C + jnp.diag(diag_extra[self.b_ids]) if mB else C
-        return (D, L, B.reshape(nb, bs, mB), C)
+        D = self._block_sharded(D)
+        B = self._block_sharded(B.reshape(nb, bs, mB))
+        return (D, L, B, C)
 
     # ------------------------------------------------------------------
     def matvec(self, K, v):
@@ -360,11 +414,14 @@ class BlockTridiagKKT:
 
         if self.block_diag:
             # batched per-block Cholesky + explicit triangular inverses:
-            # embarrassingly parallel on the MXU and shardable over a
-            # scenario mesh axis; solves become matmuls
+            # embarrassingly parallel on the MXU and mesh-distributed over
+            # the scenario axis (each device factors its own blocks); the
+            # Schur-corner einsum below contracts the sharded axis, which
+            # GSPMD lowers to a psum over the mesh
             _, Linv, ok = _chol_linv(D)
+            Linv = self._block_sharded(Linv)
             tfac = (Linv,)
-            Z = _apply_inv(Linv, B) if mB else \
+            Z = self._block_sharded(_apply_inv(Linv, B)) if mB else \
                 jnp.zeros((nb, bs, 0), D.dtype)
         else:
             levels, root_inv, ok = _bcr_factor(D, L[:nb - 1])

@@ -40,6 +40,8 @@ from .results import ExecutionStats
 # status codes inside jit
 RUNNING, FIRST_ORDER, ACCEPTABLE, INFEASIBLE, STALLED, DIVERGED, INVALID = \
     0, 1, 2, 3, 4, 5, 6
+NEED_RESTORATION = 7     # host-visible: enter the feasibility restoration
+                         # phase, then resume (never escapes to the user)
 
 _STATUS_NAMES = {
     FIRST_ORDER: "first_order",
@@ -131,6 +133,15 @@ DEFAULTS = dict(
     mu_min_fraction=0.1,     # mu floor = tol * this
     factor_dtype="float64",  # "float64" | "float32" (mixed precision + IR)
     linear_solver="dense",   # "dense" | "block_tridiag" | "auto" | "ldl_cpp"
+    # feasibility restoration (Ipopt §3.3 role): Levenberg-Marquardt
+    # Gauss-Newton descent on the (proximally damped) constraint violation,
+    # reusing the condensed-KKT machinery; entered after repeated
+    # line-search failures, compiled lazily only if ever triggered
+    restoration=True,
+    resto_max_iter=30,
+    resto_max_entries=5,     # restoration rounds before giving up (stalled)
+    resto_zeta=1e-6,         # proximal weight on ||x - x_entry||_{D_R}
+    resto_delta_init=1e-8,   # initial LM damping
 )
 
 
@@ -176,6 +187,7 @@ class IpmSolver:
         self._step_jit = jax.jit(self._step, donate_argnums=(0,))
         self._init_jit = jax.jit(self._init_state)
         self._consts_jit = jax.jit(self._make_consts)
+        self._restore_jit = None     # compiled lazily on first breakdown
         # device-side multi-iteration driver: one host round-trip per chunk
         # (the tunneled-TPU dispatch latency dominates otherwise)
 
@@ -729,7 +741,7 @@ class IpmSolver:
         small_count = jnp.where(small, st.small_step_count + 1, 0)
         status = jnp.where(
             (status == RUNNING) & (ls_fail_count >= o["max_ls_failures"]),
-            STALLED, status)
+            NEED_RESTORATION if o["restoration"] else STALLED, status)
         status = jnp.where((status == RUNNING) & (small_count >= 3),
                            STALLED, status)
 
@@ -774,6 +786,177 @@ class IpmSolver:
                 for k, v in host.items()}
 
     # ------------------------------------------------------------------
+    # feasibility restoration (role of Ipopt §3.3, which the reference
+    # inherits through its ext glue at
+    # /root/reference/ext/InfiniteExaModelsIpopt.jl:48-50).  TPU-first
+    # formulation: damped Gauss-Newton (Levenberg-Marquardt) descent on
+    #     theta(x) = 1/2 ||c(x) - mid(c(x))||^2 + zeta/2 ||D_R (x-x_R)||^2
+    # where mid() clips onto the slack bounds, reusing the SAME condensed
+    # assemble/factor/solve path (lam=0, sigma=0, d=sc^2 gives exactly
+    # J^T J on the Hessian sparsity pattern).  Entered from the host loop
+    # on NEED_RESTORATION, so the module compiles lazily only when a
+    # line-search breakdown actually happens.
+    # ------------------------------------------------------------------
+    def _restore(self, st: IpmState, consts):
+        m = self.model
+        o = self.opts
+        dt = m.dtype
+        n = m.nvar
+        has_l, has_u = consts["has_l"], consts["has_u"]
+        lzx, uzx = st.lz[:n], st.uz[:n]
+        lzs, uzs = st.lz[n:], st.uz[n:]
+        hl_x, hu_x = has_l[:n], has_u[:n]
+        hl_s, hu_s = has_l[n:], has_u[n:]
+        sc = consts["sc"]
+        x_ref = st.x
+        # Ipopt-style proximal scaling D_R = min(1, 1/|x_R|)
+        DR = jnp.minimum(1.0, 1.0 / jnp.maximum(jnp.abs(x_ref), 1e-8))
+        zeta = o["resto_zeta"] * jnp.sqrt(jnp.maximum(st.mu, 1e-12))
+
+        def violation(c):
+            mid = jnp.clip(c, jnp.where(hl_s, lzs, -jnp.inf),
+                           jnp.where(hu_s, uzs, jnp.inf))
+            return c - mid
+
+        def theta_of(x):
+            r = violation(self._ceval(x, consts))
+            prox = x - x_ref
+            th = 0.5 * (jnp.vdot(r, r) + zeta * jnp.vdot(DR * prox, prox))
+            return th, jnp.vdot(r, r)
+
+        # exit once the raw violation is far below the tolerance the main
+        # loop needs (the proximal term keeps theta itself > 0)
+        r2_exit = (0.01 * consts["tol"]) ** 2
+
+        def cond(val):
+            x, delta, th, r2, it = val
+            return (r2 > r2_exit) & (it < o["resto_max_iter"])
+
+        def body(val):
+            x, delta, th, r2, it = val
+            cval, jvals = m.cons_and_jac(x, consts["theta"])
+            cval = cval * sc
+            jvals = jvals * sc[m.jac_rows]
+            r = violation(cval)
+            grad_phi = m.jtprod(jvals, r) + zeta * DR * (x - x_ref)
+            zero_y = jnp.zeros(m.ncon, dt)
+            K = self.kkt.assemble(x, consts["theta"], zero_y,
+                                  jnp.zeros((), dt), sc * sc,
+                                  zeta * DR + delta)
+            fac, okf = self.kkt.factor(K)
+            dx = self.kkt.solve(fac, -grad_phi)
+            okf = okf & jnp.all(jnp.isfinite(dx))
+            # fraction-to-boundary on the variable box
+            neg, pos = dx < 0, dx > 0
+            a_l = jnp.where(hl_x & neg,
+                            -0.99 * (x - lzx) / jnp.where(neg, dx, -1.0),
+                            jnp.inf)
+            a_u = jnp.where(hu_x & pos,
+                            0.99 * (uzx - x) / jnp.where(pos, dx, 1.0),
+                            jnp.inf)
+            alpha = jnp.minimum(1.0, jnp.minimum(
+                jnp.min(a_l, initial=jnp.inf),
+                jnp.min(a_u, initial=jnp.inf)))
+            xt = x + alpha * dx
+            th_t, r2_t = theta_of(xt)
+            accept = okf & jnp.isfinite(th_t) & (th_t < th)
+            x = jnp.where(accept, xt, x)
+            delta = jnp.where(accept,
+                              jnp.maximum(delta * 0.25,
+                                          o["resto_delta_init"]),
+                              jnp.maximum(delta * 10.0, 1e-6))
+            return (x, delta, jnp.where(accept, th_t, th),
+                    jnp.where(accept, r2_t, r2), it + 1)
+
+        th0, r20 = theta_of(st.x)
+        x, _, th, _, _ = jax.lax.while_loop(
+            cond, body,
+            (st.x, jnp.asarray(o["resto_delta_init"], dt), th0, r20,
+             jnp.asarray(0, jnp.int32)))
+
+        # re-enter the main IPM: slacks recentred inside their bounds,
+        # multipliers re-estimated conservatively, filter reset
+        c = self._ceval(x, consts)
+        k1, k2 = self.opts["bound_push"], self.opts["bound_frac"]
+        both = hl_s & hu_s
+        span = jnp.where(both, uzs - lzs, 1.0)
+        pl = jnp.where(both,
+                       jnp.minimum(k1 * jnp.maximum(1.0, jnp.abs(lzs)),
+                                   k2 * span),
+                       k1 * jnp.maximum(1.0, jnp.abs(lzs)))
+        pu = jnp.where(both,
+                       jnp.minimum(k1 * jnp.maximum(1.0, jnp.abs(uzs)),
+                                   k2 * span),
+                       k1 * jnp.maximum(1.0, jnp.abs(uzs)))
+        s = c
+        s = jnp.where(hl_s, jnp.maximum(s, lzs + pl), s)
+        s = jnp.where(hu_s, jnp.minimum(s, uzs - pu), s)
+        mu = jnp.maximum(st.mu, 1e-6)
+        z_all = jnp.concatenate([x, s])
+        dl = jnp.where(has_l, z_all - st.lz, 1.0)
+        du = jnp.where(has_u, st.uz - z_all, 1.0)
+        zl = jnp.where(has_l, mu / dl, 0.0)
+        zu = jnp.where(has_u, mu / du, 0.0)
+        ft = jnp.full_like(st.filter_theta, jnp.inf).at[0].set(
+            st.filter_theta[0])
+        fp = jnp.full_like(st.filter_phi, -jnp.inf)
+        return st._replace(
+            x=x, s=s, y=jnp.zeros_like(st.y), zl=zl, zu=zu,
+            mu=mu, tau=jnp.maximum(self.opts["tau_min"], 1.0 - mu),
+            filter_theta=ft, filter_phi=fp,
+            filter_len=jnp.asarray(1, jnp.int32),
+            status=jnp.asarray(RUNNING, jnp.int32),
+            ls_fail_count=jnp.asarray(0, jnp.int32),
+            small_step_count=jnp.asarray(0, jnp.int32),
+            acceptable_count=jnp.asarray(0, jnp.int32))
+
+    # ------------------------------------------------------------------
+    # per-phase profiling (SURVEY.md §5: the reference parses solver text
+    # logs post-hoc; here the split is measured directly on device)
+    # ------------------------------------------------------------------
+    def profile_phases(self, state=None, consts=None, reps=3):
+        """Wall-time the IPM step's phases separately at the given state
+        (default: the initial point): model evaluations (fused value+grad
+        and cons+jac sweeps), KKT assemble, factor, solve, and one full
+        step.  Each phase is jitted on its own and timed warm over
+        ``reps`` repetitions; returns seconds per call."""
+        m = self.model
+        if consts is None:
+            consts = self._compute_consts(m.theta, m)
+        if state is None:
+            state = self._init_jit(m.x0, m.y0, consts)
+        x, theta = state.x, consts["theta"]
+        lam = state.y * consts["sc"]
+        d = jnp.ones(m.ncon, m.dtype)
+        de = jnp.ones(m.nvar, m.dtype)
+        rhs = jnp.ones(m.nvar, m.dtype)
+
+        def timed(fn, *args):
+            out = fn(*args)          # compile
+            jax.block_until_ready(out)
+            t0 = time.time()
+            for _ in range(reps):
+                out = fn(*args)
+            jax.block_until_ready(out)
+            return (time.time() - t0) / reps
+
+        prof = {}
+        prof["eval_obj_grad"] = timed(jax.jit(m.obj_and_grad), x, theta)
+        prof["eval_cons_jac"] = timed(jax.jit(m.cons_and_jac), x, theta)
+        asm = jax.jit(lambda xx, ll, dd, ee: self.kkt.assemble(
+            xx, theta, ll, consts["sf"] * m.sense, dd, ee))
+        K = asm(x, lam, d, de)
+        prof["assemble"] = timed(asm, x, lam, d, de)
+        fac_fn = jax.jit(self.kkt.factor)
+        fac, _ = fac_fn(K)
+        prof["factor"] = timed(lambda KK: fac_fn(KK)[0], K)
+        prof["solve"] = timed(jax.jit(self.kkt.solve), fac, rhs)
+        prof["full_step"] = timed(
+            lambda s: self._step_jit(jax.tree.map(jnp.copy, s), consts),
+            state)
+        return prof
+
+    # ------------------------------------------------------------------
     # checkpoint / resume (SURVEY.md §5: the reference has only in-memory
     # warm restart; long IPM runs on pods need preemption-safe state)
     # ------------------------------------------------------------------
@@ -812,6 +995,7 @@ class IpmSolver:
             print("iter    objective    inf_pr   inf_du     mu    "
                   "alpha  alpha_z  ls")
         it = 0
+        resto_entries = 0
         chunk = 1 if verbose else 32
         while it < o["max_iter"]:
             t0 = time.time()
@@ -826,6 +1010,20 @@ class IpmSolver:
             code = int(st.status)
             it = int(st.iter)
             timers["step_total"] += time.time() - t0
+            if code == NEED_RESTORATION:
+                if resto_entries < o["resto_max_entries"]:
+                    resto_entries += 1
+                    if verbose:
+                        print(f"{it:4d}  -- feasibility restoration phase "
+                              f"(entry {resto_entries}) --")
+                    if self._restore_jit is None:
+                        self._restore_jit = jax.jit(self._restore)
+                    t0 = time.time()
+                    st = self._restore_jit(st, consts)
+                    timers["step_total"] += time.time() - t0
+                    continue
+                code = STALLED
+                st = st._replace(status=jnp.asarray(STALLED, jnp.int32))
             if verbose:
                 print(f"{it:4d} {float(st.log_obj)/float(consts['sf'])* m.sense: .7e} "
                       f"{float(st.log_inf_pr):8.2e} {float(st.log_inf_du):8.2e} "

@@ -45,15 +45,18 @@ CON_MEASURE_WARN = (
     "Constrained measures can lead to poor performance with the SIMD core.")
 
 
-def transcribe(model, dtype=None, device=None):
+def transcribe(model, dtype=None, device=None, row_pad=1):
     """Build (SimdModel, TranscriptionData) from an InfiniteModel (the
-    reference's ExaCore+ExaModel construction, transform.jl:808-839)."""
+    reference's ExaCore+ExaModel construction, transform.jl:808-839).
+
+    ``row_pad`` pads every family's row axis to a multiple (typically the
+    device-mesh size) so sharding never silently falls back to replication."""
     minimize = model.objective_sense != "max"
     core = Core(minimize=minimize)
     data = TranscriptionData()
     t = _Transcriber(model, core, data)
     t.run()
-    simd = core.build(dtype=dtype, device=device)
+    simd = core.build(dtype=dtype, device=device, row_pad=row_pad)
     return simd, data
 
 

@@ -142,3 +142,50 @@ def test_unbounded_detection():
     assert res.status in ("unbounded", "max_iter", "stalled")
     if res.status == "unbounded":
         assert res.objective < -1e19
+
+
+def test_restoration_reduces_violation_and_resumes():
+    """The feasibility-restoration phase (Ipopt §3.3 role): from a
+    violated state it drives the constraint violation down by orders of
+    magnitude, recenters slacks/duals, and returns a RUNNING state."""
+    import jax
+
+    core = Core()
+    x = core.add_var((4,), start=5.0)
+    itr = Iterator({"i": np.arange(3)})
+    core.add_con(x[SRC.i] * x[SRC.i + 1] - 1.0, itr, 0.0, 0.0)
+    core.add_obj(abs2(x[SRC.i] - 2.0), Iterator({"i": np.arange(4)}))
+    m = core.build()
+    s = IpmSolver(m, print_level=0, tol=1e-8)
+    consts = s._compute_consts(m.theta, m)
+    st = s._init_jit(m.x0, m.y0, consts)
+    viol0 = float(np.abs(np.asarray(s._ceval(st.x, consts))).max())
+    st2 = jax.jit(s._restore)(st, consts)
+    viol1 = float(np.abs(np.asarray(s._ceval(st2.x, consts))).max())
+    assert viol0 > 1.0
+    assert viol1 < 1e-4 * viol0
+    assert int(st2.status) == 0          # RUNNING: main loop resumes
+    assert int(st2.ls_fail_count) == 0
+    # and the full solve still certifies
+    res = s.solve()
+    assert res.status == "first_order"
+
+
+def test_restoration_disabled_falls_back_to_stalled():
+    """With restoration off, repeated line-search failures terminate with
+    the round-1 dual-reset/stalled behavior (no NEED_RESTORATION escapes
+    to the user)."""
+    core = Core()
+    x = core.add_var((2,), start=0.0)
+    # infeasible pair: x0 == 1 and x0 == -1
+    core.add_con(x[0], lcon=1.0, ucon=1.0)
+    core.add_con(x[0], lcon=-1.0, ucon=-1.0)
+    core.add_obj(abs2(x[0]) + abs2(x[1]))
+    m = core.build()
+    res = IpmSolver(m, print_level=0, restoration=False,
+                    max_iter=200).solve()
+    assert res.status in ("stalled", "infeasible", "max_iter", "acceptable")
+    res2 = IpmSolver(m, print_level=0, restoration=True,
+                     max_iter=200).solve()
+    assert res2.status in ("stalled", "infeasible", "max_iter",
+                           "acceptable")

@@ -61,3 +61,67 @@ def test_sharded_ipm_steps_match():
                                rtol=1e-9, atol=1e-10)
     np.testing.assert_allclose(np.asarray(st2.y), np.asarray(st1.y),
                                rtol=1e-8, atol=1e-9)
+
+
+def test_pad_and_shard_full_fraction():
+    """Row padding removes the n % n_devices == 0 restriction: families
+    with awkward row counts (hovercraft's 101 supports) still shard 100%,
+    and evaluations match the unpadded model exactly."""
+    from infiniteexamodels_jl_tpu.models import hovercraft
+
+    m = hovercraft(num_supports=101)
+    ref, _ = transcribe(m)
+    x = ref.x0 + 0.05
+    ref_obj = float(ref.obj(x, ref.theta))
+    ref_grad = np.asarray(ref.grad(x, ref.theta))
+    ref_cons = np.asarray(ref.cons(x, ref.theta))
+    ref_jac = np.asarray(ref.jac_vals(x, ref.theta))
+
+    m2 = hovercraft(num_supports=101)
+    simd, _ = transcribe(m2, row_pad=8)
+    mesh = make_mesh(8)
+    shard_model(simd, mesh)
+    assert sharded_fraction(simd, mesh) == pytest.approx(1.0)
+    assert float(jax.jit(simd.obj)(x, simd.theta)) == \
+        pytest.approx(ref_obj, rel=1e-12)
+    np.testing.assert_allclose(np.asarray(jax.jit(simd.grad)(x, simd.theta)),
+                               ref_grad, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(jax.jit(simd.cons)(x, simd.theta)),
+                               ref_cons, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(simd.jac_vals)(x, simd.theta)),
+        ref_jac, rtol=1e-10, atol=1e-12)
+    lam = jnp.asarray(np.linspace(0.1, 1.0, simd.ncon))
+    d = jnp.full(simd.ncon, 2.0)
+    np.testing.assert_allclose(
+        np.asarray(simd.kkt_vals(x, simd.theta, lam, 1.0, d)),
+        np.asarray(ref.kkt_vals(x, ref.theta, lam, 1.0, d)),
+        rtol=1e-10, atol=1e-12)
+
+
+def test_mesh_distributed_factorization_solve():
+    """End-to-end: backend built with a mesh pads+shards the model, the
+    block-diagonal scenario factorization carries mesh sharding
+    constraints (kkt._mesh_ok), and the solve matches the single-device
+    trajectory."""
+    m1 = farmer(num_scenarios=64)
+    m1.set_transformation_backend(
+        ExaTranscriptionBackend(IpmSolver, linear_solver="auto"))
+    m1.set_silent()
+    res1 = m1.optimize()
+    assert res1.status == "first_order"
+
+    mesh = make_mesh(8)
+    m2 = farmer(num_scenarios=64)
+    m2.set_transformation_backend(
+        ExaTranscriptionBackend(IpmSolver, mesh=mesh,
+                                linear_solver="auto"))
+    m2.set_silent()
+    res2 = m2.optimize()
+    assert res2.status == "first_order"
+    kkt = m2.backend.solver.kkt
+    from infiniteexamodels_jl_tpu.solvers.block_tridiag import BlockTridiagKKT
+    assert isinstance(kkt, BlockTridiagKKT) and kkt.block_diag
+    assert kkt._mesh_ok, "factorization did not pick up the mesh"
+    assert res2.objective == pytest.approx(res1.objective, abs=1e-7)
+    np.testing.assert_allclose(res2.solution, res1.solution, atol=1e-6)
