@@ -84,8 +84,9 @@ def child(kind, size, platform):
         "hovercraft": lambda: M.hovercraft(num_supports=size),
         "opf": lambda: M.opf(num_supports=size),
     }[kind]
-    backend, res, bt, fs, st, phases = run_model(
-        build, profile=(platform != "cpu"))
+    profile = (platform != "cpu"
+               and os.environ.get("IXM_BENCH_PROFILE", "0") != "0")
+    backend, res, bt, fs, st, phases = run_model(build, profile=profile)
     print(json.dumps({
         "kind": kind, "size": size, "platform": platform,
         "status": res.status, "iters": int(res.iter),

@@ -27,6 +27,11 @@ import jax
 
 if not os.environ.get("IXM_X32"):
     jax.config.update("jax_enable_x64", True)
+# TPU MXU matmuls on f32 inputs default to bf16-grade passes; the solver's
+# mixed-precision factorization needs true-f32 accumulation or iterative
+# refinement cannot recover the digits (f64 paths are unaffected: they are
+# software-emulated at full precision regardless)
+jax.config.update("jax_default_matmul_precision", "highest")
 
 from .ops import Core, SimdModel  # noqa: E402,F401
 

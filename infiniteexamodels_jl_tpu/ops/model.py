@@ -9,6 +9,8 @@ static-index gathers/scatters, which XLA fuses into a handful of kernels.
 """
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -42,20 +44,25 @@ class SimdModel:
         ]
 
         if core.con_families:
-            self.lcon = jnp.asarray(
-                np.concatenate([f.lcon for f in core.con_families]), self.dtype)
-            self.ucon = jnp.asarray(
-                np.concatenate([f.ucon for f in core.con_families]), self.dtype)
+            self._lcon_np = np.concatenate(
+                [f.lcon for f in core.con_families])
+            self._ucon_np = np.concatenate(
+                [f.ucon for f in core.con_families])
         else:
-            self.lcon = jnp.zeros(0, self.dtype)
-            self.ucon = jnp.zeros(0, self.dtype)
+            self._lcon_np = np.zeros(0)
+            self._ucon_np = np.zeros(0)
+        self.lcon = jnp.asarray(self._lcon_np, self.dtype)
+        self.ucon = jnp.asarray(self._ucon_np, self.dtype)
 
         # device copies of per-family static data (padded), plus a row mask
-        # (None when no padding was needed)
+        # (None when no padding was needed).  Host (numpy) twins are kept so
+        # host-side compilations (one-shot problem constants) never pull
+        # buffers back over a slow device tunnel.
         self._fam_dev = {}
+        self._fam_host = {}
         for fam in self.con_fams + self.obj_fams:
             vidx, pidx, fdata = fam.vidx, fam.pidx, fam.fdata
-            mask = None
+            mask_np = None
             rp = self.row_pad
             if rp > 1 and fam.n > 0 and fam.n % rp:
                 n_pad = ((fam.n + rp - 1) // rp) * rp
@@ -64,14 +71,15 @@ class SimdModel:
                 pidx = np.concatenate([pidx, np.repeat(pidx[:1], extra, 0)])
                 fdata = np.concatenate(
                     [fdata, np.repeat(fdata[:1], extra, 0)])
-                m_np = np.ones(n_pad)
-                m_np[fam.n:] = 0.0
-                mask = jnp.asarray(m_np, self.dtype)
+                mask_np = np.ones(n_pad)
+                mask_np[fam.n:] = 0.0
+            self._fam_host[id(fam)] = (vidx, pidx, fdata, mask_np)
             self._fam_dev[id(fam)] = (
                 jnp.asarray(vidx), jnp.asarray(pidx),
-                jnp.asarray(fdata, self.dtype), mask,
+                jnp.asarray(fdata, self.dtype),
+                None if mask_np is None else jnp.asarray(mask_np,
+                                                         self.dtype),
             )
-
         # static sparsity patterns (numpy + device copies)
         self.jac_rows_np = (np.concatenate([f.jac_rows() for f in self.con_fams])
                             if self.con_fams else np.zeros(0, np.int64))
@@ -117,6 +125,52 @@ class SimdModel:
 
     def set_y0(self, y0):
         self.y0 = jnp.asarray(y0, self.dtype)
+
+    # -- host-data view ---------------------------------------------------
+    @contextmanager
+    def host_data(self):
+        """Temporarily rebind the static gather/pattern/bound arrays to
+        their host (numpy) twins, so a CPU-backend trace of the evaluation
+        methods never transfers device buffers back over a (possibly
+        tunneled, minutes-slow) accelerator link."""
+        saved = (self._fam_dev, self.jac_rows, self.jac_cols,
+                 self.lcon, self.ucon)
+        self._fam_dev = self._fam_host
+        self.jac_rows, self.jac_cols = self.jac_rows_np, self.jac_cols_np
+        self.lcon, self.ucon = self._lcon_np, self._ucon_np
+        try:
+            yield self
+        finally:
+            (self._fam_dev, self.jac_rows, self.jac_cols,
+             self.lcon, self.ucon) = saved
+
+    def fam_tables(self):
+        """The per-family static device tables as one pytree, in family
+        order.  Multi-process meshes require sharded arrays to enter jitted
+        functions as ARGUMENTS (closures over non-addressable buffers are
+        rejected); solvers put this pytree into their consts argument and
+        rebind it around tracing with :meth:`bound_tables`."""
+        return tuple(self._fam_dev[id(f)]
+                     for f in self.con_fams + self.obj_fams)
+
+    @contextmanager
+    def bound_tables(self, tables, jac_rows=None, jac_cols=None):
+        """Temporarily rebind family tables (and optionally the Jacobian
+        COO pattern vectors) to traced values; no-op when ``tables`` is
+        None."""
+        if tables is None:
+            yield self
+            return
+        saved = (self._fam_dev, self.jac_rows, self.jac_cols)
+        self._fam_dev = {
+            id(f): t
+            for f, t in zip(self.con_fams + self.obj_fams, tables)}
+        if jac_rows is not None:
+            self.jac_rows, self.jac_cols = jac_rows, jac_cols
+        try:
+            yield self
+        finally:
+            self._fam_dev, self.jac_rows, self.jac_cols = saved
 
     # -- family building block ------------------------------------------
     def _gather(self, fam, x, theta):

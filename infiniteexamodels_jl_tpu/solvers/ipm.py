@@ -118,6 +118,7 @@ DEFAULTS = dict(
     kappa_w_plus=8.0,
     kappa_w_minus=1.0 / 3.0,
     delta_c_bar=1e-8,
+    delta_c_mu_floor=0.0,    # optional mu floor inside the delta_c schedule
     max_backtracks=40,
     refine_max=10,           # iterative-refinement round cap
     refine_tol=1e-9,         # stop refining below this relative residual
@@ -131,7 +132,13 @@ DEFAULTS = dict(
     print_level=5,
     max_wall_time=1e20,
     mu_min_fraction=0.1,     # mu floor = tol * this
-    factor_dtype="float64",  # "float64" | "float32" (mixed precision + IR)
+    # "float64": emulated-f64 factorization throughout.
+    # "float32": native-MXU f32 factorization throughout (f64 refinement).
+    # "mixed":   f32 factorization while mu > mu_switch_f32, then f64 --
+    #            the early/mid barrier phases run on the fast hardware path
+    #            and only the endgame pays the f64-emulation tax.
+    factor_dtype="float64",
+    mu_switch_f32=1e-4,
     linear_solver="dense",   # "dense" | "block_tridiag" | "auto" | "ldl_cpp"
     # feasibility restoration (Ipopt §3.3 role): Levenberg-Marquardt
     # Gauss-Newton descent on the (proximally damped) constraint violation,
@@ -180,14 +187,40 @@ class IpmSolver:
             else:
                 raise ValueError(f"unknown linear_solver {kind!r}")
         self.kkt = kkt
+        # mixed precision: a second KKT view sharing all the structure
+        # analysis, factoring in native f32 (used while mu > mu_switch_f32)
+        self.kkt32 = None
+        if (self.opts["factor_dtype"] == "mixed"
+                and hasattr(kkt, "factor_dtype")):
+            import copy
+
+            self.kkt32 = copy.copy(kkt)
+            self.kkt32.factor_dtype = jnp.float32
         self._build_jits()
         self._consts_cache = None
 
     def _build_jits(self):
-        self._step_jit = jax.jit(self._step, donate_argnums=(0,))
-        self._init_jit = jax.jit(self._init_state)
+        # every jitted entry rebinds the model's static family tables to
+        # the copies travelling inside ``consts``: on a multi-process mesh,
+        # sharded buffers must be jit ARGUMENTS (closures over
+        # non-addressable arrays are rejected); single-process runs pass
+        # the same committed buffers with zero overhead
+        def stepw(st, c, kkt):
+            with self.model.bound_tables(c.get("fam"), c.get("jac_rows"),
+                                         c.get("jac_cols")):
+                return self._step(st, c, kkt)
+
+        def initw(x0, y0, c):
+            with self.model.bound_tables(c.get("fam"), c.get("jac_rows"),
+                                         c.get("jac_cols")):
+                return self._init_state(x0, y0, c)
+
+        self._step_jit = jax.jit(
+            lambda st, c: stepw(st, c, self.kkt), donate_argnums=(0,))
+        self._init_jit = jax.jit(initw)
         self._consts_jit = jax.jit(self._make_consts)
         self._restore_jit = None     # compiled lazily on first breakdown
+        self._stepw = stepw
         # device-side multi-iteration driver: one host round-trip per chunk
         # (the tunneled-TPU dispatch latency dominates otherwise)
 
@@ -195,10 +228,30 @@ class IpmSolver:
             def cond(s):
                 return (s.status == RUNNING) & (s.iter < iter_cap)
 
-            return jax.lax.while_loop(cond,
-                                      lambda s: self._step(s, consts), st)
+            return jax.lax.while_loop(
+                cond, lambda s: stepw(s, consts, self.kkt), st)
 
         self._run_jit = jax.jit(run_chunk, donate_argnums=(0,))
+
+        # f32-phase drivers (compiled lazily): identical step, f32 KKT;
+        # the chunk loop additionally exits once mu crosses the switch so
+        # the host can hand the state to the f64 endgame
+        self._step32_jit = None
+        self._run32_jit = None
+        if getattr(self, "kkt32", None) is not None:
+            self._step32_jit = jax.jit(
+                lambda st, c: stepw(st, c, self.kkt32),
+                donate_argnums=(0,))
+
+            def run_chunk32(st, consts, iter_cap, mu_switch):
+                def cond(s):
+                    return ((s.status == RUNNING) & (s.iter < iter_cap)
+                            & (s.mu > mu_switch))
+
+                return jax.lax.while_loop(
+                    cond, lambda s: stepw(s, consts, self.kkt32), st)
+
+            self._run32_jit = jax.jit(run_chunk32, donate_argnums=(0,))
 
     # options that are runtime values (changing them never retraces)
     _RUNTIME_OPTS = frozenset({
@@ -410,7 +463,8 @@ class IpmSolver:
     # ------------------------------------------------------------------
     # one IPM iteration
     # ------------------------------------------------------------------
-    def _step(self, st: IpmState, consts):
+    def _step(self, st: IpmState, consts, kkt=None):
+        kkt = kkt if kkt is not None else self.kkt
         m = self.model
         o = self.opts
         dt = m.dtype
@@ -513,33 +567,44 @@ class IpmSolver:
         # the lifted equality rows, keeping the condensed system factorizable
         # in f64 (the conditioning tradeoff of condensed-space IPMs; cf.
         # PAPERS.md condensed-space papers' use of regularization+refinement)
-        delta_c_floor = o["delta_c_bar"] * mu ** 0.25
+        # mu-floored dual regularization: letting delta_c follow mu all the
+        # way down makes D ~ 1/delta_c blow past what any factorization can
+        # carry on degenerate problems (multiplier rays); the floor keeps
+        # the endgame system factorable while the full-space refinement
+        # keeps the step exact for the TRUE (regularized) system
+        delta_c_floor = o["delta_c_bar"] * \
+            jnp.maximum(mu, o["delta_c_mu_floor"]) ** 0.25
 
         def make_step(delta_w, delta_c):
             inv_ss = 1.0 / (sigma_s + delta_w)
             D = 1.0 / (inv_ss + delta_c)
-            rhs2 = rp + inv_ss * rs
-            rhs = -(rx + m.jtprod(jvals, D * rhs2))
             diag_extra = sigma_x + delta_w
             # model-side values are for UNSCALED f and c: fold scalings in
             # (internal y multiplies scaled c_i = sc_i*c_i; scaled J = sc*J)
             sc = consts["sc"]
-            K = self.kkt.assemble(st.x, consts["theta"],
+            K = kkt.assemble(st.x, consts["theta"],
                                   st.y * sc,
                                   consts["sf"] * m.sense,
                                   D * sc * sc, diag_extra)
-            fac, ok = self.kkt.factor(K)
-            dx = self.kkt.solve(fac, rhs)
-            # Residual-driven iterative refinement recovers the digits the
-            # ill-conditioned (D ~ 1/delta_c) factorization loses.  The
-            # loop body is traced ONCE (while_loop); it exits early when the
-            # relative residual is small or stops contracting, and a final
-            # residual that is still above ``refine_accept`` marks the step
-            # failed so the regularization loop bumps delta_w -- the
-            # TPU-first analogue of MadNLP's refinement-failure handling.
-            # For the BCR backend each round is a handful of batched
-            # matmuls, so generous round caps are essentially free.
-            if not getattr(self.kkt, "exact_solve", False):
+            fac, ok = kkt.factor(K)
+
+            rhs2 = rp + inv_ss * rs
+            rhs = -(rx + m.jtprod(jvals, D * rhs2))
+            dx = kkt.solve(fac, rhs)
+            # Residual-driven iterative refinement of the CONDENSED solve.
+            # (Full-space refinement of (dx, ds, dy) jointly was tried and
+            # reverted: the slack-dual row (Sigma_s)*ds carries a rounding
+            # floor of eps*Sigma_s ~ 1e-5*|ds| through the huge lifted-
+            # equality Sigma entries, so a full-space acceptance gate can
+            # never be satisfied on degenerate problems and the step gets
+            # spuriously regularized into a crawl.)  The loop body is
+            # traced ONCE (while_loop); it exits early when the relative
+            # residual is small or stops contracting, and a final residual
+            # above ``refine_accept`` marks the step failed so the
+            # regularization ladder escalates -- the TPU-first analogue of
+            # MadNLP's refinement-failure handling.  For the BCR backend
+            # each round is a handful of batched matmuls.
+            if not getattr(kkt, "exact_solve", False):
                 rhs_norm = jnp.linalg.norm(rhs) + jnp.finfo(dt).tiny
 
                 def ref_cond(val):
@@ -551,31 +616,36 @@ class IpmSolver:
 
                 def ref_body(val):
                     dxc, resid, prev, i = val
-                    dxn = dxc + self.kkt.solve(fac, resid)
-                    residn = rhs - self.kkt.matvec(K, dxn)
+                    dxn = dxc + kkt.solve(fac, resid)
+                    residn = rhs - kkt.matvec(K, dxn)
                     rr = jnp.linalg.norm(resid) / rhs_norm
-                    # keep the better iterate if refinement diverges
                     rrn = jnp.linalg.norm(residn) / rhs_norm
+                    # keep the better iterate if refinement diverges
                     worse = rrn > rr
                     dxn = jnp.where(worse, dxc, dxn)
                     residn = jnp.where(worse, resid, residn)
                     return dxn, residn, rr, i + 1
 
-                resid0 = rhs - self.kkt.matvec(K, dx)
+                resid0 = rhs - kkt.matvec(K, dx)
                 dx, resid, _, _ = jax.lax.while_loop(
                     ref_cond, ref_body,
                     (dx, resid0, jnp.asarray(jnp.inf, dt),
                      jnp.asarray(0, jnp.int32)))
                 rr_final = jnp.linalg.norm(resid) / rhs_norm
                 ok = ok & (rr_final <= o["refine_accept"])
-            ok = ok & jnp.all(jnp.isfinite(dx))
             dy = D * (m.jprod(jvals, dx) + rhs2)
             ds = inv_ss * (dy - rs)
+            ok = ok & jnp.all(jnp.isfinite(dx)) & \
+                jnp.all(jnp.isfinite(dy)) & jnp.all(jnp.isfinite(ds))
             return dx, ds, dy, ok
 
         # the FIRST attempt (delta_w = 0) runs as iteration 0 of the same
         # while_loop so make_step -- the assemble+factor+solve subgraph, by
-        # far the largest in the module -- is traced exactly once
+        # far the largest in the module -- is traced exactly once.
+        # (Escalating delta_c in this ladder was tried and reverted: the
+        # inconsistent dual regularization across retries destabilizes
+        # degenerate-multiplier problems more than the delta_w damping it
+        # was meant to avoid.)
         def reg_cond(val):
             _, _, ok, tries, _ = val
             return (~ok) & (tries < o["max_reg_tries"])
@@ -771,17 +841,32 @@ class IpmSolver:
         accelerator behind a slow remote-compile path, trace/compile this
         tiny module on the host CPU backend instead (its output transfers
         once); falls back to the default device transparently."""
+        # local_devices: in a multi-process run jax.devices() enumerates
+        # every process's devices; committing to another process's device
+        # makes the result unfetchable there
         try:
-            cpu = jax.devices("cpu")[0]
+            cpu = jax.local_devices(backend="cpu")[0]
         except RuntimeError:
             cpu = None
-        default = jax.devices()[0]
-        if cpu is None or default.platform == "cpu":
+        default = jax.local_devices()[0]
+        mesh = getattr(m, "mesh", None)
+        multiproc = jax.process_count() > 1
+        if (cpu is None or default.platform == "cpu") and not multiproc:
             return self._consts_jit(theta, m.x0, m.lvar, m.uvar)
-        with jax.default_device(cpu):
+        # host_data(): trace against the numpy twins of the static family
+        # arrays -- without this, the CPU trace either pulls every gather
+        # table back over the device tunnel (observed: minutes per solve)
+        # or, multi-host, closes over non-addressable sharded buffers
+        with m.host_data(), jax.default_device(cpu):
             host = jax.jit(self._make_consts)(
-                np.asarray(theta), np.asarray(m.x0), np.asarray(m.lvar),
-                np.asarray(m.uvar))
+                np.asarray(theta), np.asarray(m.core.x0),
+                np.asarray(m.core.lvar), np.asarray(m.core.uvar))
+        if mesh is not None and multiproc:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            repl = NamedSharding(mesh, PartitionSpec())
+            return {k: jax.device_put(np.asarray(v), repl)
+                    for k, v in host.items()}
         return {k: jax.device_put(np.asarray(v), default)
                 for k, v in host.items()}
 
@@ -979,7 +1064,11 @@ class IpmSolver:
         m = self.model
         t_start = time.time()
         theta = m.theta
-        consts = self._compute_consts(theta, m)
+        consts = dict(self._compute_consts(theta, m))
+        # static tables travel as jit arguments (multi-process safe)
+        consts["fam"] = m.fam_tables()
+        consts["jac_rows"] = m.jac_rows
+        consts["jac_cols"] = m.jac_cols
         x0 = m.x0 if x0 is None else jnp.asarray(x0, m.dtype)
         y0 = m.y0 if y0 is None else jnp.asarray(y0, m.dtype)
         # internal y is for the scaled problem: y_scaled = y_user*sf/sc*sense
@@ -997,16 +1086,27 @@ class IpmSolver:
         it = 0
         resto_entries = 0
         chunk = 1 if verbose else 32
+        mu_switch = o["mu_switch_f32"]
         while it < o["max_iter"]:
             t0 = time.time()
+            # mixed precision: run the f32-factorization step set while the
+            # barrier is hot; its chunk loop self-exits when mu crosses the
+            # switch and the f64 endgame takes over
+            use32 = (self._step32_jit is not None
+                     and float(st.mu) > mu_switch)
             if chunk == 1:
-                st = self._step_jit(st, consts)
+                st = (self._step32_jit if use32 else self._step_jit)(
+                    st, consts)
             else:
                 # device-side multi-iteration driver: one host round-trip
                 # per chunk (dispatch latency over the TPU tunnel dominates
                 # a per-iteration loop)
                 cap = jnp.asarray(min(it + chunk, o["max_iter"]), jnp.int32)
-                st = self._run_jit(st, consts, cap)
+                if use32:
+                    st = self._run32_jit(st, consts, cap,
+                                         jnp.asarray(mu_switch, m.dtype))
+                else:
+                    st = self._run_jit(st, consts, cap)
             code = int(st.status)
             it = int(st.iter)
             timers["step_total"] += time.time() - t0
@@ -1017,7 +1117,13 @@ class IpmSolver:
                         print(f"{it:4d}  -- feasibility restoration phase "
                               f"(entry {resto_entries}) --")
                     if self._restore_jit is None:
-                        self._restore_jit = jax.jit(self._restore)
+                        def restw(s, c):
+                            with self.model.bound_tables(
+                                    c.get("fam"), c.get("jac_rows"),
+                                    c.get("jac_cols")):
+                                return self._restore(s, c)
+
+                        self._restore_jit = jax.jit(restw)
                     t0 = time.time()
                     st = self._restore_jit(st, consts)
                     timers["step_total"] += time.time() - t0
@@ -1041,13 +1147,23 @@ class IpmSolver:
                 break
         solve_time = time.time() - t_start
 
-        x = np.asarray(st.x)
+        def to_host(a):
+            # multi-host: arrays whose shards span other processes cannot
+            # be fetched directly; allgather the global value first
+            if getattr(a, "is_fully_addressable", True):
+                return np.asarray(a)
+            from jax.experimental import multihost_utils
+
+            return np.asarray(
+                multihost_utils.process_allgather(a, tiled=True))
+
+        x = to_host(st.x)
         sf = float(consts["sf"])
-        sc = np.asarray(consts["sc"])
+        sc = to_host(consts["sc"])
         fobj = float(m.obj(st.x, theta))
-        y_user = np.asarray(st.y) * sc / sf * m.sense
-        zl = np.asarray(st.zl)[:m.nvar] / sf * m.sense
-        zu = np.asarray(st.zu)[:m.nvar] / sf * m.sense
+        y_user = to_host(st.y) * sc / sf * m.sense
+        zl = to_host(st.zl)[:m.nvar] / sf * m.sense
+        zu = to_host(st.zu)[:m.nvar] / sf * m.sense
         res = ExecutionStats(
             status=status,
             objective=fobj,

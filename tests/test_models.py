@@ -1,5 +1,17 @@
 """End-to-end solves of the benchmark model families at reduced sizes
-(the reference validates these via examples/runexamples.jl + ESCAPE34)."""
+(the reference validates these via examples/runexamples.jl + ESCAPE34).
+
+Every case asserts an absolute objective oracle (the reference pins every
+model against stock InfiniteOpt+Ipopt at 1e-6, test/solve.jl:14-26).  The
+oracles below were generated INDEPENDENTLY of the device solver path: the
+native C++ sparse-LDL^T backend (`linear_solver="ldl_cpp"`, exact host
+factorization, no iterative refinement) at tol=1e-9 (pandemic: 1e-6), and
+each solution's KKT residuals were re-verified with plain numpy
+(stationarity via COO J^T y, bound duals, feasibility); all certified
+du<=4e-12, pr<=1e-8 (pandemic du=7.6e-7 -- degenerate multiplier ray).
+The tests then solve through the *structured device backend*
+(`linear_solver="auto"`), so agreement cross-checks transcription + IPM +
+two unrelated factorization routes."""
 import numpy as np
 import pytest
 
@@ -17,10 +29,24 @@ def attach(m):
     return m
 
 
+ORACLES = {
+    # independently generated + numpy-KKT-verified; see module docstring
+    "hovercraft41": 0.04245763849025232,
+    "quad12": 574.5678886441765,
+    "kinetics30": 0.6202259539451183,
+    "farmer300": -89332.38357572953,
+    "design3node200": 0.9999909736891066,
+    "opf10": 4135.325580764153,
+    "pandemic51x4": 29.137955008938995,
+}
+
+
 def test_hovercraft_hits_waypoints():
     m = attach(hovercraft(num_supports=41))
     res = m.optimize()
     assert res.status == "first_order"
+    assert m.objective_value() == pytest.approx(ORACLES["hovercraft41"],
+                                                abs=1e-6)
     data = m.backend.data
     xvals = [np.asarray(m.value(v))
              for v in (m.infinite_vars[0], m.infinite_vars[1])]
@@ -36,7 +62,7 @@ def test_quadrotor_small():
     m = attach(quad(num_supports=12))
     res = m.optimize()
     assert res.status == "first_order"
-    assert np.isfinite(m.objective_value())
+    assert m.objective_value() == pytest.approx(ORACLES["quad12"], abs=1e-6)
     # states start at 0
     for v in m.infinite_vars[:9]:
         assert np.asarray(m.value(v))[0] == pytest.approx(0.0, abs=1e-6)
@@ -56,7 +82,10 @@ def test_pandemic():
     res = m.optimize()
     assert res.status == "first_order"
     assert res.primal_feas <= 1e-4
-    assert 28.9 <= m.objective_value() <= 29.4
+    # degenerate multiplier ray => the primal optimum is determined only
+    # to ~tol; the oracle itself carries du=7.6e-7
+    assert m.objective_value() == pytest.approx(ORACLES["pandemic51x4"],
+                                                abs=1e-3)
     i_var = next(v for v in m.infinite_vars if v.name == "i")
     ivals = np.asarray(m.value(i_var))
     assert ivals.shape[1] == 4
@@ -70,14 +99,16 @@ def test_kinetics_small():
     m = attach(kinetic_control(num_supports=30))
     res = m.optimize()
     assert res.status in ("first_order", "acceptable")
-    # maximized product concentration is positive and bounded by c0 total
-    assert 0.0 < m.objective_value() <= 1.0
+    assert m.objective_value() == pytest.approx(ORACLES["kinetics30"],
+                                                abs=1e-6)
 
 
 def test_farmer():
     m = attach(farmer(num_scenarios=300))
     res = m.optimize()
     assert res.status == "first_order"
+    assert m.objective_value() == pytest.approx(ORACLES["farmer300"],
+                                                rel=1e-9)
     xs = [m.value(v) for v in m.finite_vars]
     assert sum(xs) <= 500.0 + 1e-6
     assert all(x >= -1e-8 for x in xs)
@@ -87,12 +118,12 @@ def test_design_3node():
     m = attach(design_3node(num_scenarios=200))
     res = m.optimize()
     assert res.status == "first_order"
-    assert 0.0 <= m.objective_value() <= 1.0
+    assert m.objective_value() == pytest.approx(
+        ORACLES["design3node200"], abs=1e-6)
 
 
 def test_opf_stochastic():
     m = attach(opf(num_supports=10))
     res = m.optimize()
     assert res.status == "first_order"
-    assert np.isfinite(m.objective_value())
-    assert m.objective_value() > 0.0
+    assert m.objective_value() == pytest.approx(ORACLES["opf10"], rel=1e-6)
