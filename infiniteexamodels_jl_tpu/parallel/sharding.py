@@ -10,10 +10,12 @@ psum-style collectives for the scatter-adds into replicated outputs
 parallelism over supports/scenarios, which is exactly the axis the
 reference's SIMD abstraction batches over.
 
-The linear algebra (condensed KKT factorization) currently runs replicated;
-the scenario-Schur decomposition over the mesh is the next step on the
-roadmap (block-diagonal scenario blocks factorized locally + psum-reduced
-first-stage Schur complement).
+The linear algebra follows the data: scenario-structured (block-diagonal +
+arrowhead) KKT systems are assembled AND factorized per-device by the
+shard_map-aligned backend (solvers/scenario_shard.py) -- each device
+evaluates only the rows of the scenario blocks it owns, factors only those
+blocks, and the only cross-device communication is the arrowhead's
+psum-reduced Schur corner, border rhs, and replicated solution vector.
 """
 from __future__ import annotations
 

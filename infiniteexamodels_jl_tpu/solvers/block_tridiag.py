@@ -493,9 +493,16 @@ class BlockTridiagKKT:
 
 def make_structured_kkt(model, fallback=True, **kwargs):
     """Detect block structure; fall back to the dense backend when the
-    problem is too small or has no usable block layout."""
+    problem is too small or has no usable block layout.  With a device mesh
+    attached to the model, scenario-structured problems get the shard_map-
+    aligned backend (assembly AND factorization local per device)."""
     try:
-        kkt = BlockTridiagKKT(model, **kwargs)
+        mesh = kwargs.get("mesh") or getattr(model, "mesh", None)
+        if mesh is not None and mesh.devices.size > 1:
+            from .scenario_shard import ShardedScenarioKKT
+            kkt = ShardedScenarioKKT(model, **kwargs)
+        else:
+            kkt = BlockTridiagKKT(model, **kwargs)
         if kkt.usable:
             return kkt
     except Exception:
