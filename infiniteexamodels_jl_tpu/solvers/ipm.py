@@ -55,6 +55,17 @@ _STATUS_NAMES = {
 FILTER_SIZE = 128
 
 
+def _kkt_tables(kkt, t):
+    """Rebind a KKT backend's static tables to traced jit arguments
+    (multi-process safe; no-op for backends without sharded tables)."""
+    bind = getattr(kkt, "bound_tables", None)
+    if bind is None:
+        from contextlib import nullcontext
+
+        return nullcontext()
+    return bind(t)
+
+
 class IpmState(NamedTuple):
     x: jnp.ndarray          # (n,)
     s: jnp.ndarray          # (m,)
@@ -207,7 +218,8 @@ class IpmSolver:
         # the same committed buffers with zero overhead
         def stepw(st, c, kkt):
             with self.model.bound_tables(c.get("fam"), c.get("jac_rows"),
-                                         c.get("jac_cols")):
+                                         c.get("jac_cols")), \
+                    _kkt_tables(kkt, c.get("kkt")):
                 return self._step(st, c, kkt)
 
         def initw(x0, y0, c):
@@ -1069,6 +1081,9 @@ class IpmSolver:
         consts["fam"] = m.fam_tables()
         consts["jac_rows"] = m.jac_rows
         consts["jac_cols"] = m.jac_cols
+        kt = getattr(self.kkt, "tables", None)
+        if kt is not None and kt() is not None:
+            consts["kkt"] = kt()
         x0 = m.x0 if x0 is None else jnp.asarray(x0, m.dtype)
         y0 = m.y0 if y0 is None else jnp.asarray(y0, m.dtype)
         # internal y is for the scaled problem: y_scaled = y_user*sf/sc*sense
@@ -1120,7 +1135,8 @@ class IpmSolver:
                         def restw(s, c):
                             with self.model.bound_tables(
                                     c.get("fam"), c.get("jac_rows"),
-                                    c.get("jac_cols")):
+                                    c.get("jac_cols")), \
+                                    _kkt_tables(self.kkt, c.get("kkt")):
                                 return self._restore(s, c)
 
                         self._restore_jit = jax.jit(restw)

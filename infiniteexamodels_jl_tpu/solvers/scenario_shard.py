@@ -38,6 +38,8 @@ gradient and Jacobian evaluation keep the transcription row order.
 """
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -204,6 +206,38 @@ class ShardedScenarioKKT(BlockTridiagKKT):
             smask[d, loc] = 1.0
         self._rT_src = (shx(src), shx(smask))
         self._b_ids_np = b_ids
+
+    # ------------------------------------------------------------------
+    def tables(self):
+        """Pytree of the aligned static tables, for travelling as jit
+        ARGUMENTS: on a multi-process mesh, closures over non-addressable
+        (globally sharded) arrays are rejected by jit, so the IPM puts
+        this pytree into its ``consts`` and rebinds it around tracing via
+        :meth:`bound_tables` -- the same mechanism SimdModel uses for its
+        family tables."""
+        if not self.aligned:
+            return None
+        return {"tabs": self._al_tabs, "tgt": self._al_tgt,
+                "dg": self._dg, "pad": self._pad_tgt,
+                "rT": self._rT_src}
+
+    @contextmanager
+    def bound_tables(self, t):
+        if t is None or not self.aligned:
+            yield self
+            return
+        saved = (self._al_tabs, self._al_tgt, self._dg, self._pad_tgt,
+                 self._rT_src)
+        self._al_tabs = t["tabs"]
+        self._al_tgt = t["tgt"]
+        self._dg = t["dg"]
+        self._pad_tgt = t["pad"]
+        self._rT_src = t["rT"]
+        try:
+            yield self
+        finally:
+            (self._al_tabs, self._al_tgt, self._dg, self._pad_tgt,
+             self._rT_src) = saved
 
     # ------------------------------------------------------------------
     def _smap(self, fn, in_specs, out_specs):
