@@ -42,6 +42,10 @@ RUNNING, FIRST_ORDER, ACCEPTABLE, INFEASIBLE, STALLED, DIVERGED, INVALID = \
     0, 1, 2, 3, 4, 5, 6
 NEED_RESTORATION = 7     # host-visible: enter the feasibility restoration
                          # phase, then resume (never escapes to the user)
+DEMOTE_F32 = 8           # host-visible: the f32 factorization path can no
+                         # longer deliver refinable steps -- the host hands
+                         # the UNCHANGED state to the f64 step set (never
+                         # escapes to the user)
 
 _STATUS_NAMES = {
     FIRST_ORDER: "first_order",
@@ -144,10 +148,12 @@ DEFAULTS = dict(
     max_wall_time=1e20,
     mu_min_fraction=0.1,     # mu floor = tol * this
     # "float64": emulated-f64 factorization throughout.
-    # "float32": native-MXU f32 factorization throughout (f64 refinement).
+    # "float32": native-MXU f32 factorization for as long as the f64
+    #            iterative refinement keeps contracting; a refinement
+    #            failure demotes the solve to the f64 step set (residual-
+    #            driven handover, no mu threshold).
     # "mixed":   f32 factorization while mu > mu_switch_f32, then f64 --
-    #            the early/mid barrier phases run on the fast hardware path
-    #            and only the endgame pays the f64-emulation tax.
+    #            plus the same residual-driven demotion as a safety net.
     factor_dtype="float64",
     mu_switch_f32=1e-4,
     linear_solver="dense",   # "dense" | "block_tridiag" | "auto" | "ldl_cpp"
@@ -182,11 +188,7 @@ class IpmSolver:
             elif kind in ("block_tridiag", "auto"):
                 from .block_tridiag import make_structured_kkt
 
-                fd = None
-                if self.opts["factor_dtype"] == "float32":
-                    fd = jnp.float32
-                kkt = make_structured_kkt(model, fallback=(kind == "auto"),
-                                          factor_dtype=fd)
+                kkt = make_structured_kkt(model, fallback=(kind == "auto"))
             elif kind in ("ldl_cpp", "ma27"):
                 # "ma27" accepted as an alias: it names the role this path
                 # plays in the reference stack (Ipopt's CPU factorization)
@@ -199,9 +201,13 @@ class IpmSolver:
                 raise ValueError(f"unknown linear_solver {kind!r}")
         self.kkt = kkt
         # mixed precision: a second KKT view sharing all the structure
-        # analysis, factoring in native f32 (used while mu > mu_switch_f32)
+        # analysis, factoring in native f32.  "mixed" uses it while
+        # mu > mu_switch_f32; "float32" uses it for as long as the f64
+        # iterative refinement keeps contracting (residual-driven demotion
+        # is the only handover).  The f64 view is always retained: an
+        # f32-only factorization stalls once kappa(K)*eps_f32 ~ 1.
         self.kkt32 = None
-        if (self.opts["factor_dtype"] == "mixed"
+        if (self.opts["factor_dtype"] in ("mixed", "float32")
                 and hasattr(kkt, "factor_dtype")):
             import copy
 
@@ -587,6 +593,13 @@ class IpmSolver:
         delta_c_floor = o["delta_c_bar"] * \
             jnp.maximum(mu, o["delta_c_mu_floor"]) ** 0.25
 
+        # the f32 step set demotes on refinement failure instead of walking
+        # the regularization ladder: a precision failure is not an inertia
+        # failure, and bumping delta_w for it damps the Newton direction
+        # into a crawl (the observed pure-f32 stall mode).  Static at trace
+        # time: True only for the kkt32-bound step functions.
+        can_demote = kkt is getattr(self, "kkt32", None) and kkt is not None
+
         def make_step(delta_w, delta_c):
             inv_ss = 1.0 / (sigma_s + delta_w)
             D = 1.0 / (inv_ss + delta_c)
@@ -644,12 +657,14 @@ class IpmSolver:
                     (dx, resid0, jnp.asarray(jnp.inf, dt),
                      jnp.asarray(0, jnp.int32)))
                 rr_final = jnp.linalg.norm(resid) / rhs_norm
-                ok = ok & (rr_final <= o["refine_accept"])
+                ref_ok = rr_final <= o["refine_accept"]
+            else:
+                ref_ok = jnp.asarray(True)
             dy = D * (m.jprod(jvals, dx) + rhs2)
             ds = inv_ss * (dy - rs)
             ok = ok & jnp.all(jnp.isfinite(dx)) & \
                 jnp.all(jnp.isfinite(dy)) & jnp.all(jnp.isfinite(ds))
-            return dx, ds, dy, ok
+            return dx, ds, dy, ok, ref_ok
 
         # the FIRST attempt (delta_w = 0) runs as iteration 0 of the same
         # while_loop so make_step -- the assemble+factor+solve subgraph, by
@@ -659,11 +674,11 @@ class IpmSolver:
         # degenerate-multiplier problems more than the delta_w damping it
         # was meant to avoid.)
         def reg_cond(val):
-            _, _, ok, tries, _ = val
-            return (~ok) & (tries < o["max_reg_tries"])
+            _, _, ok, tries, _, demote = val
+            return (~ok) & (~demote) & (tries < o["max_reg_tries"])
 
         def reg_body(val):
-            _, dw, ok, tries, dw_used = val
+            _, dw, ok, tries, dw_used, _ = val
             bump_from_zero = jnp.where(
                 st.delta_w_last == 0.0, o["delta_w_init"],
                 jnp.maximum(o["delta_w_min"],
@@ -674,14 +689,23 @@ class IpmSolver:
                           dw * jnp.where(st.delta_w_last == 0.0,
                                          o["kappa_w_plus_init"],
                                          o["kappa_w_plus"])))
-            dx, ds, dy, ok = make_step(dw_new, delta_c_floor)
-            return (dx, ds, dy), dw_new, ok, tries + 1, dw_new
+            dx, ds, dy, fac_ok, ref_ok = make_step(dw_new, delta_c_floor)
+            # precision failure (factorization fine, refinement cannot
+            # contract): hand over to the f64 step set rather than damping
+            demote = (jnp.asarray(bool(can_demote)) & fac_ok & ~ref_ok)
+            return ((dx, ds, dy), dw_new, fac_ok & ref_ok, tries + 1,
+                    dw_new, demote)
 
         zero_dir = (jnp.zeros(n, dt), jnp.zeros(mm, dt), jnp.zeros(mm, dt))
-        (dx, ds, dy), dw_f, ok_f, _, dw_used = jax.lax.while_loop(
-            reg_cond, reg_body,
-            (zero_dir, jnp.zeros((), dt), jnp.asarray(False),
-             jnp.asarray(0, jnp.int32), jnp.zeros((), dt)))
+        (dx, ds, dy), dw_f, ok_f, _, dw_used, need_demote = \
+            jax.lax.while_loop(
+                reg_cond, reg_body,
+                (zero_dir, jnp.zeros((), dt), jnp.asarray(False),
+                 jnp.asarray(0, jnp.int32), jnp.zeros((), dt),
+                 jnp.asarray(False)))
+        if can_demote:
+            status = jnp.where((status == RUNNING) & need_demote,
+                               DEMOTE_F32, status)
 
         dz = jnp.concatenate([dx, ds])
         # dual directions from complementarity linearization
@@ -1097,17 +1121,22 @@ class IpmSolver:
         verbose = o["print_level"] >= 5
         if verbose:
             print("iter    objective    inf_pr   inf_du     mu    "
-                  "alpha  alpha_z  ls")
+                  "alpha  alpha_z  ls   dw")
         it = 0
         resto_entries = 0
         chunk = 1 if verbose else 32
-        mu_switch = o["mu_switch_f32"]
+        # "float32": no mu-based handover -- the f32 path runs until its
+        # refinement stops contracting (DEMOTE_F32)
+        mu_switch = (0.0 if o["factor_dtype"] == "float32"
+                     else o["mu_switch_f32"])
+        f32_demoted = False
         while it < o["max_iter"]:
             t0 = time.time()
             # mixed precision: run the f32-factorization step set while the
             # barrier is hot; its chunk loop self-exits when mu crosses the
-            # switch and the f64 endgame takes over
-            use32 = (self._step32_jit is not None
+            # switch (or a step demotes on refinement failure) and the f64
+            # endgame takes over
+            use32 = (self._step32_jit is not None and not f32_demoted
                      and float(st.mu) > mu_switch)
             if chunk == 1:
                 st = (self._step32_jit if use32 else self._step_jit)(
@@ -1125,6 +1154,14 @@ class IpmSolver:
             code = int(st.status)
             it = int(st.iter)
             timers["step_total"] += time.time() - t0
+            if code == DEMOTE_F32:
+                # precision handover: same state, f64 step set from here on
+                f32_demoted = True
+                st = st._replace(status=jnp.asarray(RUNNING, jnp.int32))
+                if verbose:
+                    print(f"{it:4d}  -- f32 factorization demoted to f64 "
+                          f"(mu={float(st.mu):.1e}) --")
+                continue
             if code == NEED_RESTORATION:
                 if resto_entries < o["resto_max_entries"]:
                     resto_entries += 1
@@ -1150,7 +1187,8 @@ class IpmSolver:
                 print(f"{it:4d} {float(st.log_obj)/float(consts['sf'])* m.sense: .7e} "
                       f"{float(st.log_inf_pr):8.2e} {float(st.log_inf_du):8.2e} "
                       f"{float(st.mu):7.1e} {float(st.log_alpha):6.4f} "
-                      f"{float(st.log_alpha_z):6.4f} {int(st.log_ls):3d}")
+                      f"{float(st.log_alpha_z):6.4f} {int(st.log_ls):3d} "
+                      f"{float(st.log_delta_w):7.1e}")
             if checkpoint_path and checkpoint_every and \
                     it // checkpoint_every != \
                     (it - chunk) // checkpoint_every:

@@ -116,3 +116,17 @@ def test_mixed_precision_factorization_converges():
              factor_dtype="mixed").solve()
     assert r32b.status == "first_order"
     assert r32b.objective == pytest.approx(r64b.objective, rel=1e-9)
+
+    # "float32": no mu threshold at all -- the f32 factorization runs until
+    # its f64 refinement stops contracting, then DEMOTE_F32 hands the
+    # unchanged state to the f64 step set.  Without that residual-driven
+    # handover this configuration stalled (round-1 README:119-122); it must
+    # now certify first_order at tol=1e-8 on both problem shapes.
+    rf = S(simd, print_level=0, linear_solver="auto", tol=1e-8,
+           factor_dtype="float32").solve()
+    assert rf.status == "first_order"
+    assert rf.objective == pytest.approx(r64.objective, abs=1e-7)
+    rfb = S(simd2, print_level=0, linear_solver="auto", tol=1e-8,
+            factor_dtype="float32").solve()
+    assert rfb.status == "first_order"
+    assert rfb.objective == pytest.approx(r64b.objective, rel=1e-9)
