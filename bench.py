@@ -43,6 +43,9 @@ except Exception:
     pass
 
 RUN_OPF = os.environ.get("IXM_BENCH_OPF", "0") != "0"
+# factorization precision for the device runs ("float64"/"float32"/"mixed");
+# the CPU reference column always runs f64
+FDTYPE = os.environ.get("IXM_BENCH_FDTYPE", "float64")
 QUAD_TIMEOUT_S = int(os.environ.get("IXM_BENCH_QUAD_TIMEOUT", "560"))
 FALLBACK_TIMEOUT_S = int(os.environ.get("IXM_BENCH_FALLBACK_TIMEOUT", "420"))
 OPF_TIMEOUT_S = int(os.environ.get("IXM_BENCH_OPF_TIMEOUT", "420"))
@@ -90,9 +93,12 @@ def child(kind, size, platform):
     }[kind]
     profile = (platform != "cpu"
                and os.environ.get("IXM_BENCH_PROFILE", "0") != "0")
-    backend, res, bt, fs, st, phases = run_model(build, profile=profile)
+    opts = {} if platform == "cpu" else {"factor_dtype": FDTYPE}
+    backend, res, bt, fs, st, phases = run_model(build, profile=profile,
+                                                 **opts)
     print(json.dumps({
         "kind": kind, "size": size, "platform": platform,
+        "factor_dtype": "float64" if platform == "cpu" else FDTYPE,
         "status": res.status, "iters": int(res.iter),
         "objective": float(res.objective),
         "nvar": backend.model.nvar, "ncon": backend.model.ncon,

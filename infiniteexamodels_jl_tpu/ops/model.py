@@ -310,16 +310,26 @@ class SimdModel:
         # (kx,kx) Hessian flattened in C order == pairs (a,b) meshgrid order
         return slice(None)
 
-    def kkt_vals(self, x, theta, lam, sigma, d):
+    def kkt_vals(self, x, theta, lam, sigma, d, dtype=None):
         """COO values of the condensed-KKT sparse part
         ``sigma*H_f + sum lam_i H_ci + J^T diag(d) J`` on the Hessian
         pattern: per con family the rank-1 ``d_r g_r g_r^T`` has exactly the
-        family's square slot pattern, so it fuses into the same scatter."""
+        family's square slot pattern, so it fuses into the same scatter.
+
+        ``dtype`` runs the whole Hessian AD sweep in that precision (inputs
+        cast once, template functions follow their operand dtype): the
+        low-precision KKT step evaluates in native f32 instead of paying
+        the emulated-f64 tax for values that feed an f32 factorization."""
+        if dtype is not None:
+            x, theta, lam, sigma, d = (jnp.asarray(a).astype(dtype)
+                                       for a in (x, theta, lam, sigma, d))
         parts = []
         for fam in self.con_fams:
             if fam.kx == 0:
                 continue
             xg, pg, fv = self._gather(fam, x, theta)
+            if dtype is not None:
+                fv = fv.astype(dtype)
             H = jax.vmap(jax.hessian(fam.fn))(xg, pg, fv)[:fam.n]
             g = jax.vmap(jax.grad(fam.fn))(xg, pg, fv)[:fam.n]
             w = jax.lax.dynamic_slice_in_dim(lam, fam.offset, fam.n)
@@ -327,10 +337,16 @@ class SimdModel:
             M = w[:, None, None] * H + dr[:, None, None] * (
                 g[:, :, None] * g[:, None, :])
             parts.append(M.reshape(-1))
-        for fam, Hw in self._obj_hess_parts(x, theta, sigma):
-            parts.append(Hw.reshape(-1))
+        for fam in self.obj_fams:
+            if fam.kx == 0:
+                continue
+            xg, pg, fv = self._gather(fam, x, theta)
+            if dtype is not None:
+                fv = fv.astype(dtype)
+            H = jax.vmap(jax.hessian(fam.fn))(xg, pg, fv)[:fam.n]
+            parts.append((sigma * H).reshape(-1))
         if not parts:
-            return jnp.zeros(0, self.dtype)
+            return jnp.zeros(0, dtype or self.dtype)
         return jnp.concatenate(parts)
 
     # -- COO matvec helpers ----------------------------------------------

@@ -344,7 +344,14 @@ class BlockTridiagKKT:
 
     def assemble(self, x, theta, lam, sigma, d, diag_extra):
         m = self.model
-        vals = m.kkt_vals(x, theta, lam, sigma, d)
+        # low-precision mode: the whole Hessian AD sweep AND the block
+        # scatter run in the factorization dtype (native f32 on TPU vs the
+        # emulated-f64 path).  The refinement then measures residuals
+        # against this K -- a ~1e-7-relative model of the true system,
+        # plenty for the barrier phases the f32 step set serves; the f64
+        # step set keeps its exact-f64 assembly.
+        fdt = self.factor_dtype
+        vals = m.kkt_vals(x, theta, lam, sigma, d, dtype=fdt)
         dt = vals.dtype
         nb, bs, mB = self.nb, self.bs, self.mB
         D = jnp.zeros((nb, bs, bs), dt).at[self.D_idx].add(vals[self.selD])
@@ -354,11 +361,11 @@ class BlockTridiagKKT:
         B = jnp.zeros((self.nTpad, mB), dt).at[self.B_idx].add(
             vals[self.selB])
         C = jnp.zeros((mB, mB), dt).at[self.C_idx].add(vals[self.selC])
-        dT = diag_extra[self.t_ids]
+        dT = diag_extra[self.t_ids].astype(dt)
         D = D.at[self.diagD_idx[0], self.diagD_idx[1],
                  self.diagD_idx[1]].add(dT)
-        D = D + self.pad_eye
-        C = C + jnp.diag(diag_extra[self.b_ids]) if mB else C
+        D = D + self.pad_eye.astype(dt)
+        C = C + jnp.diag(diag_extra[self.b_ids].astype(dt)) if mB else C
         D = self._block_sharded(D)
         B = self._block_sharded(B.reshape(nb, bs, mB))
         return (D, L, B, C)
@@ -366,10 +373,14 @@ class BlockTridiagKKT:
     # ------------------------------------------------------------------
     def matvec(self, K, v):
         """K @ v from the block representation (used by the IPM's iterative
-        refinement of the condensed solve)."""
+        refinement of the condensed solve).  Computed in the BLOCK dtype
+        (f32 blocks keep the product on the native hardware path instead of
+        promoting to emulated f64); the caller gets v's dtype back."""
         D, L, B, C = K
         nb, bs, mB = self.nb, self.bs, self.mB
-        dt = v.dtype
+        out_dt = v.dtype
+        dt = D.dtype
+        v = v.astype(dt)
         vT = jnp.zeros(self.nTpad, dt).at[self.t_slots].set(
             v[self.t_ids]).reshape(nb, bs)
         out_T = jnp.einsum("bij,bj->bi", D, vT)
@@ -385,7 +396,7 @@ class BlockTridiagKKT:
         out = out.at[self.t_ids].set(out_T.reshape(-1)[self.t_slots])
         if mB:
             out = out.at[self.b_ids].set(out_B)
-        return out
+        return out.astype(out_dt)
 
     # ------------------------------------------------------------------
     def factor(self, K):

@@ -55,11 +55,32 @@ def _ptr_d(a):
 
 
 class SparseLDL:
-    """Symbolic+numeric LDL^T over a fixed sparsity pattern."""
+    """Symbolic+numeric LDL^T over a fixed sparsity pattern.
 
-    def __init__(self, n, rows, cols):
+    A reverse-Cuthill-McKee fill-reducing permutation is applied to the
+    pattern before the symbolic analysis (the role MA27's minimum-degree
+    ordering plays in the reference's Ipopt path): the etree-based
+    up-looking factorization fills within the profile, so natural
+    (transcription) order can explode on non-banded condensed KKTs."""
+
+    def __init__(self, n, rows, cols, order="rcm"):
         self.lib = load_library()
         self.n = n
+        if order == "rcm" and n > 1:
+            import scipy.sparse as sp
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+            A = sp.coo_matrix((np.ones(len(rows)), (rows, cols)),
+                              shape=(n, n)).tocsr()
+            perm = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True),
+                              dtype=np.int64)
+        else:
+            perm = np.arange(n, dtype=np.int64)
+        self.perm = perm
+        self.iperm = np.empty(n, np.int64)
+        self.iperm[perm] = np.arange(n)
+        rows = self.iperm[np.asarray(rows)]
+        cols = self.iperm[np.asarray(cols)]
         # build upper-triangle CSC pattern (cols are CSC columns)
         r = np.minimum(rows, cols)
         c = np.maximum(rows, cols)
@@ -108,10 +129,15 @@ class SparseLDL:
         return int(info)
 
     def solve(self, b):
-        x = np.ascontiguousarray(b, np.float64).copy()
+        # permuted system: K_p = P K P^T, solve K x = b as
+        # K_p (P x) = P b
+        x = np.ascontiguousarray(
+            np.asarray(b, np.float64)[self.perm]).copy()
         self.lib.ldl_solve(self.n, _ptr_i(self.Lp), _ptr_i(self.Li),
                            _ptr_d(self.Lx), _ptr_d(self.D), _ptr_d(x))
-        return x
+        out = np.empty(self.n, np.float64)
+        out[self.perm] = x
+        return out
 
 
 class CppLdlKKT:

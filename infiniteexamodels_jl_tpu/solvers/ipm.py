@@ -135,10 +135,22 @@ DEFAULTS = dict(
     delta_c_bar=1e-8,
     delta_c_mu_floor=0.0,    # optional mu floor inside the delta_c schedule
     max_backtracks=40,
+    soc=True,                # second-order correction: when the full step
+                             # is rejected with growing infeasibility,
+                             # re-solve the factorized KKT with the
+                             # post-step violation as rhs (Maratos-effect
+                             # remedy; Ipopt A-5.7..5.9 role)
     refine_max=10,           # iterative-refinement round cap
     refine_tol=1e-9,         # stop refining below this relative residual
     refine_accept=1e-6,      # residual above this => step rejected,
                              # regularization bumps delta_w
+    # f32 step set: the refinement reference is the f32-assembled K (a
+    # ~1e-7-relative model), so refining past ~1e-6 is meaningless and
+    # every round costs a solve+matvec -- cap the loop tighter and let a
+    # miss demote to f64 rather than bump delta_w
+    refine_max_f32=4,
+    refine_tol_f32=1e-6,
+    refine_accept_f32=1e-4,
     max_reg_tries=30,
     y_reset_cap=1e3,
     kappa_d=1e-5,
@@ -664,7 +676,10 @@ class IpmSolver:
             ds = inv_ss * (dy - rs)
             ok = ok & jnp.all(jnp.isfinite(dx)) & \
                 jnp.all(jnp.isfinite(dy)) & jnp.all(jnp.isfinite(ds))
-            return dx, ds, dy, ok, ref_ok
+            # the factorization travels out of the regularization ladder so
+            # the second-order correction can reuse it (one extra solve,
+            # no refactorization)
+            return dx, ds, dy, ok, ref_ok, fac
 
         # the FIRST attempt (delta_w = 0) runs as iteration 0 of the same
         # while_loop so make_step -- the assemble+factor+solve subgraph, by
@@ -674,11 +689,11 @@ class IpmSolver:
         # degenerate-multiplier problems more than the delta_w damping it
         # was meant to avoid.)
         def reg_cond(val):
-            _, _, ok, tries, _, demote = val
+            _, _, ok, tries, _, demote, _ = val
             return (~ok) & (~demote) & (tries < o["max_reg_tries"])
 
         def reg_body(val):
-            _, dw, ok, tries, dw_used, _ = val
+            _, dw, ok, tries, dw_used, _, _ = val
             bump_from_zero = jnp.where(
                 st.delta_w_last == 0.0, o["delta_w_init"],
                 jnp.maximum(o["delta_w_min"],
@@ -689,46 +704,43 @@ class IpmSolver:
                           dw * jnp.where(st.delta_w_last == 0.0,
                                          o["kappa_w_plus_init"],
                                          o["kappa_w_plus"])))
-            dx, ds, dy, fac_ok, ref_ok = make_step(dw_new, delta_c_floor)
+            dx, ds, dy, fac_ok, ref_ok, fac = make_step(dw_new,
+                                                        delta_c_floor)
             # precision failure (factorization fine, refinement cannot
             # contract): hand over to the f64 step set rather than damping
             demote = (jnp.asarray(bool(can_demote)) & fac_ok & ~ref_ok)
             return ((dx, ds, dy), dw_new, fac_ok & ref_ok, tries + 1,
-                    dw_new, demote)
+                    dw_new, demote, fac)
 
         zero_dir = (jnp.zeros(n, dt), jnp.zeros(mm, dt), jnp.zeros(mm, dt))
-        (dx, ds, dy), dw_f, ok_f, _, dw_used, need_demote = \
+        # zero-valued pytree with the factorization's structure (shapes come
+        # from an abstract trace of make_step -- no FLOPs at runtime)
+        fac_sd = jax.eval_shape(make_step, jnp.zeros((), dt),
+                                jnp.zeros((), dt))[5]
+        fac0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), fac_sd)
+        (dx, ds, dy), dw_f, ok_f, _, dw_used, need_demote, fac_f = \
             jax.lax.while_loop(
                 reg_cond, reg_body,
                 (zero_dir, jnp.zeros((), dt), jnp.asarray(False),
                  jnp.asarray(0, jnp.int32), jnp.zeros((), dt),
-                 jnp.asarray(False)))
+                 jnp.asarray(False), fac0))
         if can_demote:
             status = jnp.where((status == RUNNING) & need_demote,
                                DEMOTE_F32, status)
 
-        dz = jnp.concatenate([dx, ds])
-        # dual directions from complementarity linearization
-        acl = jnp.where(has_l, dl * st.zl - mu, 0.0)
-        acu = jnp.where(has_u, du * st.zu - mu, 0.0)
-        dzl = jnp.where(has_l, -sig_l * dz - acl / dl, 0.0)
-        dzu = jnp.where(has_u, sig_u * dz - acu / du, 0.0)
+        def ftb_primal(dza):
+            """Fraction-to-boundary step cap for a primal direction."""
+            neg = dza < 0
+            pos = dza > 0
+            a_l = jnp.where(has_l & neg,
+                            -tau * dl / jnp.where(neg, dza, -1.0), jnp.inf)
+            a_u = jnp.where(has_u & pos,
+                            tau * du / jnp.where(pos, dza, 1.0), jnp.inf)
+            return jnp.minimum(1.0, jnp.minimum(
+                jnp.min(a_l, initial=jnp.inf),
+                jnp.min(a_u, initial=jnp.inf)))
 
-        # -- fraction to boundary ----------------------------------------
-        neg = dz < 0
-        pos = dz > 0
-        a_l = jnp.where(has_l & neg, -tau * dl / jnp.where(neg, dz, -1.0), jnp.inf)
-        a_u = jnp.where(has_u & pos, tau * du / jnp.where(pos, dz, 1.0), jnp.inf)
-        alpha_max = jnp.minimum(1.0, jnp.minimum(jnp.min(a_l, initial=jnp.inf),
-                                                 jnp.min(a_u, initial=jnp.inf)))
-        negl = dzl < 0
-        negu = dzu < 0
-        a_zl = jnp.where(has_l & negl,
-                         -tau * st.zl / jnp.where(negl, dzl, -1.0), jnp.inf)
-        a_zu = jnp.where(has_u & negu,
-                         -tau * st.zu / jnp.where(negu, dzu, -1.0), jnp.inf)
-        alpha_z = jnp.minimum(1.0, jnp.minimum(jnp.min(a_zl, initial=jnp.inf),
-                                               jnp.min(a_zu, initial=jnp.inf)))
+        alpha_max = ftb_primal(jnp.concatenate([dx, ds]))
 
         # -- filter line search ------------------------------------------
         theta_c = jnp.sum(jnp.abs(rp))
@@ -737,16 +749,16 @@ class IpmSolver:
         gphi_s = -mu_dl[n:] + mu_du[n:] + damp[n:]
         dphi = jnp.dot(gphi_x, dx) + jnp.dot(gphi_s, ds)
 
-        def trial(alpha):
-            xt = st.x + alpha * dx
-            stt = st.s + alpha * ds
+        gt, gp = o["gamma_theta"], o["gamma_phi"]
+
+        def trial_at(dxa, dsa, alpha):
+            xt = st.x + alpha * dxa
+            stt = st.s + alpha * dsa
             ft = self._feval(xt, consts)
             ct = self._ceval(xt, consts)
             theta_t = jnp.sum(jnp.abs(ct - stt))
             phi_t = self._phi(xt, stt, ft, lz, uz, consts, mu)
             return theta_t, phi_t
-
-        gt, gp = o["gamma_theta"], o["gamma_phi"]
 
         def acceptable_to_filter(theta_t, phi_t):
             # filter entries are stored WITH their margins applied
@@ -757,13 +769,7 @@ class IpmSolver:
                 (phi_t >= filter_phi)
             return ~jnp.any(dominated)
 
-        def ls_cond(val):
-            alpha, accepted, ls_iters, *_ = val
-            return (~accepted) & (ls_iters < o["max_backtracks"])
-
-        def ls_body(val):
-            alpha, accepted, ls_iters, _, _, _ = val
-            theta_t, phi_t = trial(alpha)
+        def accept_test(alpha, theta_t, phi_t):
             finite = jnp.isfinite(theta_t) & jnp.isfinite(phi_t)
             in_filter = acceptable_to_filter(theta_t, phi_t)
             switching = (dphi < 0) & \
@@ -772,14 +778,104 @@ class IpmSolver:
             armijo = phi_t <= phi_c + o["eta_phi"] * alpha * dphi
             progress = (theta_t <= (1 - gt) * theta_c) | \
                 (phi_t <= phi_c - gp * theta_c)
-            acc = finite & in_filter & jnp.where(switching, armijo, progress)
-            return (jnp.where(acc, alpha, alpha * 0.5), acc, ls_iters + 1,
-                    theta_t, phi_t, switching & armijo)
+            acc = finite & in_filter & \
+                jnp.where(switching, armijo, progress)
+            return acc, switching & armijo
 
-        alpha, accepted, ls_iters, theta_t, phi_t, f_type = jax.lax.while_loop(
-            ls_cond, ls_body,
-            (alpha_max, jnp.asarray(False), jnp.asarray(0, jnp.int32),
-             theta_c, phi_c, jnp.asarray(False)))
+        # first trial at alpha_max with the uncorrected direction
+        theta_t0, phi_t0 = trial_at(dx, ds, alpha_max)
+        acc0, ftype0 = accept_test(alpha_max, theta_t0, phi_t0)
+
+        if o["soc"]:
+            # -- second-order correction (Ipopt A-5.7..5.9 role) ---------
+            # when the full step is rejected with theta not improving, the
+            # rejection is typically curvature of the active constraint
+            # surface (Maratos effect): solve the SAME factorized KKT once
+            # more with the post-step constraint violation as rhs and test
+            # the corrected step before falling back to backtracking.
+            inv_ss_f = 1.0 / (sigma_s + dw_used)
+            D_f = 1.0 / (inv_ss_f + delta_c_floor)
+            need_soc = ok_f & (~acc0) & (theta_t0 >= theta_c)
+
+            def soc_branch(_):
+                stt = st.s + alpha_max * ds
+                ct = self._ceval(st.x + alpha_max * dx, consts)
+                rp_soc = alpha_max * rp + (ct - stt)
+                rhs2s = rp_soc + inv_ss_f * rs
+                rhs_s = -(rx + m.jtprod(jvals, D_f * rhs2s))
+                dxs = kkt.solve(fac_f, rhs_s)
+                dys = D_f * (m.jprod(jvals, dxs) + rhs2s)
+                dss = inv_ss_f * (dys - rs)
+                good = (jnp.all(jnp.isfinite(dxs))
+                        & jnp.all(jnp.isfinite(dss))
+                        & jnp.all(jnp.isfinite(dys)))
+                a_soc = ftb_primal(jnp.concatenate([dxs, dss]))
+                th_s, ph_s = trial_at(dxs, dss, a_soc)
+                # W-B tests the corrected point against the ORIGINAL
+                # step's alpha_max (model decrease of the uncorrected
+                # direction)
+                acc_s, ftype_s = accept_test(alpha_max, th_s, ph_s)
+                # kappa_soc guard (W-B A-5.9): the correction exists to
+                # REDUCE infeasibility -- a corrected step that merely
+                # passes the filter without shrinking theta (e.g. noise-
+                # level theta near convergence) must not displace the
+                # plain backtracking polish
+                use = good & acc_s & (th_s <= 0.99 * theta_c)
+                return dxs, dss, dys, a_soc, th_s, ph_s, use, ftype_s
+
+            def no_soc(_):
+                return (dx, ds, dy, alpha_max, theta_t0, phi_t0,
+                        jnp.asarray(False), ftype0)
+
+            dx_s, ds_s, dy_s, a_soc, th_s, ph_s, use_soc, ftype_s = \
+                jax.lax.cond(need_soc, soc_branch, no_soc, None)
+            pick = lambda a, b: jnp.where(use_soc, a, b)
+            dx = jax.tree.map(pick, dx_s, dx)
+            ds = jax.tree.map(pick, ds_s, ds)
+            dy = jax.tree.map(pick, dy_s, dy)
+            start_alpha = pick(a_soc, jnp.where(acc0, alpha_max,
+                                                0.5 * alpha_max))
+            start_acc = acc0 | use_soc
+            theta_init = pick(th_s, theta_t0)
+            phi_init = pick(ph_s, phi_t0)
+            ftype_init = pick(ftype_s, ftype0)
+        else:
+            start_alpha = jnp.where(acc0, alpha_max, 0.5 * alpha_max)
+            start_acc = acc0
+            theta_init, phi_init, ftype_init = theta_t0, phi_t0, ftype0
+
+        def ls_cond(val):
+            alpha, accepted, ls_iters, *_ = val
+            return (~accepted) & (ls_iters < o["max_backtracks"])
+
+        def ls_body(val):
+            alpha, accepted, ls_iters, _, _, _ = val
+            theta_t, phi_t = trial_at(dx, ds, alpha)
+            acc, ftype = accept_test(alpha, theta_t, phi_t)
+            return (jnp.where(acc, alpha, alpha * 0.5), acc, ls_iters + 1,
+                    theta_t, phi_t, ftype)
+
+        alpha, accepted, ls_iters, theta_t, phi_t, f_type = \
+            jax.lax.while_loop(
+                ls_cond, ls_body,
+                (start_alpha, start_acc, jnp.asarray(1, jnp.int32),
+                 theta_init, phi_init, ftype_init))
+
+        # dual directions from complementarity linearization (for the
+        # FINAL direction, post-SOC) + their fraction-to-boundary cap
+        dz = jnp.concatenate([dx, ds])
+        acl = jnp.where(has_l, dl * st.zl - mu, 0.0)
+        acu = jnp.where(has_u, du * st.zu - mu, 0.0)
+        dzl = jnp.where(has_l, -sig_l * dz - acl / dl, 0.0)
+        dzu = jnp.where(has_u, sig_u * dz - acu / du, 0.0)
+        negl = dzl < 0
+        negu = dzu < 0
+        a_zl = jnp.where(has_l & negl,
+                         -tau * st.zl / jnp.where(negl, dzl, -1.0), jnp.inf)
+        a_zu = jnp.where(has_u & negu,
+                         -tau * st.zu / jnp.where(negu, dzu, -1.0), jnp.inf)
+        alpha_z = jnp.minimum(1.0, jnp.minimum(jnp.min(a_zl, initial=jnp.inf),
+                                               jnp.min(a_zu, initial=jnp.inf)))
 
         # augment filter unless the accepted step was an f-type (Armijo) step
         add_to_filter = accepted & ~f_type
@@ -802,6 +898,15 @@ class IpmSolver:
         # the escape hatch Ipopt reaches via its restoration's multiplier
         # re-estimation.
         failed = ~accepted
+        if can_demote:
+            # a 40-backtrack line-search failure in the f32 phase is far
+            # more likely a precision-poisoned direction than a genuinely
+            # unusable Newton step: hand the unchanged state to the f64
+            # step set instead of burning a destructive multiplier-reset /
+            # restoration entry on it
+            status = jnp.where((status == RUNNING) & failed, DEMOTE_F32,
+                               status)
+            failed = jnp.asarray(False)
         alpha = jnp.where(failed, 0.0, alpha)
         cap = o["y_reset_cap"]
         # reheat the barrier on failure: the monotone schedule can plunge mu
@@ -1072,9 +1177,19 @@ class IpmSolver:
         fac, _ = fac_fn(K)
         prof["factor"] = timed(lambda KK: fac_fn(KK)[0], K)
         prof["solve"] = timed(jax.jit(self.kkt.solve), fac, rhs)
+        if self.kkt32 is not None:
+            fac32_fn = jax.jit(self.kkt32.factor)
+            fac32, _ = fac32_fn(K)
+            prof["factor_f32"] = timed(lambda KK: fac32_fn(KK)[0], K)
+            prof["solve_f32"] = timed(jax.jit(self.kkt32.solve), fac32, rhs)
         prof["full_step"] = timed(
             lambda s: self._step_jit(jax.tree.map(jnp.copy, s), consts),
             state)
+        if self._step32_jit is not None:
+            prof["full_step_f32"] = timed(
+                lambda s: self._step32_jit(jax.tree.map(jnp.copy, s),
+                                           consts),
+                state)
         return prof
 
     # ------------------------------------------------------------------

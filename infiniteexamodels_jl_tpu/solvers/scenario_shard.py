@@ -258,11 +258,22 @@ class ShardedScenarioKKT(BlockTridiagKKT):
         fams = self._al_fams
         rep = P()
 
+        fdt = self.factor_dtype
+
         def local(x, theta, lam, sigma, d, diag_extra, tgt, dg, pad_tgt,
                   *tabs):
+            if fdt is not None:
+                # low-precision step set: Hessian AD sweep + scatter run in
+                # the factorization dtype (see BlockTridiagKKT.assemble)
+                x, theta, lam, sigma, d, diag_extra = (
+                    a.astype(fdt)
+                    for a in (x, theta, lam, sigma, d, diag_extra))
             parts = []
             for (fam, has_lam), tb in zip(fams, tabs):
                 vidx, pidx, fdata, mask, lam_src = (t[0] for t in tb)
+                if fdt is not None:
+                    fdata = fdata.astype(fdt)
+                    mask = mask.astype(fdt)
                 xg, pg = x[vidx], theta[pidx]
                 H = jax.vmap(jax.hessian(fam.fn))(xg, pg, fdata)
                 if has_lam:
@@ -388,8 +399,11 @@ class ShardedScenarioKKT(BlockTridiagKKT):
         b_ids = self._b_ids_np
 
         def local(D, B, C, v, src, smask):
-            dt = v.dtype
-            vT = (v[src[0]] * smask[0]).reshape(nb_loc, bs)
+            out_dt = v.dtype
+            dt = D.dtype
+            v = v.astype(dt)
+            smask_ = smask.astype(dt)
+            vT = (v[src[0]] * smask_[0]).reshape(nb_loc, bs)
             oT = jnp.einsum("bij,bj->bi", D, vT)
             if mB:
                 vB = v[b_ids]
@@ -397,11 +411,11 @@ class ShardedScenarioKKT(BlockTridiagKKT):
                 oB = jax.lax.psum(
                     jnp.einsum("bij,bi->j", B, vT), ax) + C @ vB
             out = jnp.zeros(n, dt).at[src[0]].add(
-                oT.reshape(-1) * smask[0])
+                oT.reshape(-1) * smask_[0])
             out = jax.lax.psum(out, ax)
             if mB:
                 out = out.at[b_ids].set(oB)
-            return out
+            return out.astype(out_dt)
 
         sp, rep = self._sp(), P()
         fn = self._smap(local, in_specs=(sp, sp, rep, rep, sp, sp),

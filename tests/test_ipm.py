@@ -189,3 +189,23 @@ def test_restoration_disabled_falls_back_to_stalled():
                      max_iter=200).solve()
     assert res2.status in ("stalled", "infeasible", "max_iter",
                            "acceptable")
+
+
+def test_second_order_correction():
+    """SOC (Ipopt A-5.7..5.9 role): a rejected full step with growing
+    infeasibility triggers one extra solve of the already-factorized KKT
+    with the post-step violation as rhs.  Both settings must converge to
+    the same point; the kappa_soc guard keeps SOC from displacing the
+    endgame polish (regression: farmer-300 returned ``acceptable`` when an
+    accepted SOC step pinned theta at the equality-relaxation window)."""
+    from infiniteexamodels_jl_tpu.models import quad
+    from infiniteexamodels_jl_tpu.transcribe import transcribe
+
+    simd, _ = transcribe(quad(num_supports=40))
+    r_on = IpmSolver(simd, print_level=0, linear_solver="auto",
+                     tol=1e-8, soc=True).solve()
+    r_off = IpmSolver(simd, print_level=0, linear_solver="auto",
+                      tol=1e-8, soc=False).solve()
+    assert r_on.status == "first_order"
+    assert r_off.status == "first_order"
+    assert r_on.objective == pytest.approx(r_off.objective, rel=1e-9)
