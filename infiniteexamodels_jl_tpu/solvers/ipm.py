@@ -100,6 +100,9 @@ class IpmState(NamedTuple):
     log_alpha_z: jnp.ndarray
     log_ls: jnp.ndarray
     log_delta_w: jnp.ndarray
+    # relative residual of the condensed solve after iterative refinement
+    # (0 for exact backends); the precision diagnostic behind DEMOTE_F32
+    log_rr: jnp.ndarray
 
 
 DEFAULTS = dict(
@@ -142,7 +145,20 @@ DEFAULTS = dict(
                              # remedy; Ipopt A-5.7..5.9 role)
     refine_max=10,           # iterative-refinement round cap
     refine_tol=1e-9,         # stop refining below this relative residual
-    refine_accept=1e-6,      # residual above this => step rejected,
+    # Acceptance (step rejected above it) is platform-resolved when None:
+    # 1e-6 on hosts with native f64, 1e-4 where f64 is EMULATED (TPU).
+    # Rationale: a rejection escalates the delta_w ladder, which treats the
+    # miss as an INERTIA problem -- the right medicine when real-f64
+    # refinement stalls on a degenerate endgame (observed: farmer needs the
+    # dw bump or it drifts to "acceptable"), but the wrong medicine for a
+    # hardware precision floor.  On emulated f64 the refinement floor of
+    # the dw=0 condensed system sits at ~1e-7..3e-6 relative, and a 1e-6
+    # acceptance flapped on exactly that boundary -- re-factorizing with
+    # dw>0 every second iteration and damping the endgame into a geometric
+    # crawl (observed on-chip, quadrotor-1000: 23 iters vs 17 with the
+    # platform floor acknowledged).  Convergence tests use the iterate's
+    # TRUE residuals, so acceptance looseness never falsely certifies.
+    refine_accept=None,
                              # regularization bumps delta_w
     # f32 step set: the refinement reference is the f32-assembled K (a
     # ~1e-7-relative model), so refining past ~1e-6 is meaningless and
@@ -193,6 +209,10 @@ class IpmSolver:
         self.model = model
         self.opts = dict(DEFAULTS)
         self.set_options(**options)
+        if self.opts["refine_accept"] is None:
+            plat = jax.local_devices()[0].platform
+            self.opts["refine_accept"] = (
+                1e-6 if plat in ("cpu", "gpu") else 1e-4)
         if kkt is None:
             kind = self.opts["linear_solver"]
             if kind in ("dense",):
@@ -433,6 +453,7 @@ class IpmSolver:
             log_inf_du=jnp.zeros((), dt),
             log_alpha=jnp.zeros((), dt), log_alpha_z=jnp.zeros((), dt),
             log_ls=jnp.asarray(0, jnp.int32), log_delta_w=jnp.zeros((), dt),
+            log_rr=jnp.zeros((), dt),
         )
 
     # ------------------------------------------------------------------
@@ -611,6 +632,14 @@ class IpmSolver:
         # into a crawl (the observed pure-f32 stall mode).  Static at trace
         # time: True only for the kkt32-bound step functions.
         can_demote = kkt is getattr(self, "kkt32", None) and kkt is not None
+        # the fully-low-precision step set computes the refinement residual
+        # itself in f32, whose noise floor sits just above the f64
+        # acceptance (observed rr ~ 1e-6 at the f32 floor); hold it to the
+        # f32 thresholds instead or every step demotes instantly
+        sfx = "_f32" if can_demote else ""
+        refine_tol = o["refine_tol" + sfx]
+        refine_accept = o["refine_accept" + sfx]
+        refine_max = o["refine_max" + sfx]
 
         def make_step(delta_w, delta_c):
             inv_ss = 1.0 / (sigma_s + delta_w)
@@ -647,9 +676,9 @@ class IpmSolver:
                 def ref_cond(val):
                     _, resid, prev, i = val
                     rr = jnp.linalg.norm(resid) / rhs_norm
-                    return ((rr > o["refine_tol"])
+                    return ((rr > refine_tol)
                             & (rr < 0.3 * prev)
-                            & (i < o["refine_max"]))
+                            & (i < refine_max))
 
                 def ref_body(val):
                     dxc, resid, prev, i = val
@@ -669,8 +698,9 @@ class IpmSolver:
                     (dx, resid0, jnp.asarray(jnp.inf, dt),
                      jnp.asarray(0, jnp.int32)))
                 rr_final = jnp.linalg.norm(resid) / rhs_norm
-                ref_ok = rr_final <= o["refine_accept"]
+                ref_ok = rr_final <= refine_accept
             else:
+                rr_final = jnp.zeros((), dt)
                 ref_ok = jnp.asarray(True)
             dy = D * (m.jprod(jvals, dx) + rhs2)
             ds = inv_ss * (dy - rs)
@@ -679,7 +709,7 @@ class IpmSolver:
             # the factorization travels out of the regularization ladder so
             # the second-order correction can reuse it (one extra solve,
             # no refactorization)
-            return dx, ds, dy, ok, ref_ok, fac
+            return dx, ds, dy, ok, ref_ok, rr_final.astype(dt), fac
 
         # the FIRST attempt (delta_w = 0) runs as iteration 0 of the same
         # while_loop so make_step -- the assemble+factor+solve subgraph, by
@@ -689,11 +719,11 @@ class IpmSolver:
         # degenerate-multiplier problems more than the delta_w damping it
         # was meant to avoid.)
         def reg_cond(val):
-            _, _, ok, tries, _, demote, _ = val
+            _, _, ok, tries, _, demote, _, _ = val
             return (~ok) & (~demote) & (tries < o["max_reg_tries"])
 
         def reg_body(val):
-            _, dw, ok, tries, dw_used, _, _ = val
+            _, dw, ok, tries, dw_used, _, _, _ = val
             bump_from_zero = jnp.where(
                 st.delta_w_last == 0.0, o["delta_w_init"],
                 jnp.maximum(o["delta_w_min"],
@@ -704,26 +734,26 @@ class IpmSolver:
                           dw * jnp.where(st.delta_w_last == 0.0,
                                          o["kappa_w_plus_init"],
                                          o["kappa_w_plus"])))
-            dx, ds, dy, fac_ok, ref_ok, fac = make_step(dw_new,
-                                                        delta_c_floor)
+            dx, ds, dy, fac_ok, ref_ok, rr, fac = make_step(dw_new,
+                                                            delta_c_floor)
             # precision failure (factorization fine, refinement cannot
             # contract): hand over to the f64 step set rather than damping
             demote = (jnp.asarray(bool(can_demote)) & fac_ok & ~ref_ok)
             return ((dx, ds, dy), dw_new, fac_ok & ref_ok, tries + 1,
-                    dw_new, demote, fac)
+                    dw_new, demote, rr, fac)
 
         zero_dir = (jnp.zeros(n, dt), jnp.zeros(mm, dt), jnp.zeros(mm, dt))
         # zero-valued pytree with the factorization's structure (shapes come
         # from an abstract trace of make_step -- no FLOPs at runtime)
         fac_sd = jax.eval_shape(make_step, jnp.zeros((), dt),
-                                jnp.zeros((), dt))[5]
+                                jnp.zeros((), dt))[6]
         fac0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), fac_sd)
-        (dx, ds, dy), dw_f, ok_f, _, dw_used, need_demote, fac_f = \
+        (dx, ds, dy), dw_f, ok_f, _, dw_used, need_demote, rr_f, fac_f = \
             jax.lax.while_loop(
                 reg_cond, reg_body,
                 (zero_dir, jnp.zeros((), dt), jnp.asarray(False),
                  jnp.asarray(0, jnp.int32), jnp.zeros((), dt),
-                 jnp.asarray(False), fac0))
+                 jnp.asarray(False), jnp.zeros((), dt), fac0))
         if can_demote:
             status = jnp.where((status == RUNNING) & need_demote,
                                DEMOTE_F32, status)
@@ -899,14 +929,19 @@ class IpmSolver:
         # re-estimation.
         failed = ~accepted
         if can_demote:
-            # a 40-backtrack line-search failure in the f32 phase is far
-            # more likely a precision-poisoned direction than a genuinely
-            # unusable Newton step: hand the unchanged state to the f64
-            # step set instead of burning a destructive multiplier-reset /
-            # restoration entry on it
-            status = jnp.where((status == RUNNING) & failed, DEMOTE_F32,
+            # a REPEATED 40-backtrack line-search failure in the f32 phase
+            # is far more likely a precision-poisoned direction than a
+            # genuinely unusable Newton step: hand the unchanged state to
+            # the f64 step set instead of burning a destructive
+            # multiplier-reset / restoration entry on it.  The first
+            # failure gets the same recovery the f64 path uses -- iteration
+            # 1 routinely fails its line search from the pushed initial
+            # point on every backend, and demoting on it would kill the
+            # f32 phase before it starts.
+            demote_ls = failed & (st.ls_fail_count >= 1)
+            status = jnp.where((status == RUNNING) & demote_ls, DEMOTE_F32,
                                status)
-            failed = jnp.asarray(False)
+            failed = failed & ~demote_ls
         alpha = jnp.where(failed, 0.0, alpha)
         cap = o["y_reset_cap"]
         # reheat the barrier on failure: the monotone schedule can plunge mu
@@ -974,7 +1009,7 @@ class IpmSolver:
             ls_fail_count=ls_fail_count.astype(jnp.int32),
             log_obj=fval, log_inf_pr=inf_pr, log_inf_du=inf_du,
             log_alpha=alpha, log_alpha_z=alpha_z, log_ls=ls_iters,
-            log_delta_w=dw_used,
+            log_delta_w=dw_used, log_rr=rr_f,
         )
 
     def _compute_consts(self, theta, m):
@@ -1202,7 +1237,10 @@ class IpmSolver:
 
     def load_checkpoint(self, path):
         data = np.load(path)
-        return IpmState(**{k: jnp.asarray(data[k]) for k in data.files})
+        vals = {k: jnp.asarray(data[k]) for k in data.files}
+        # checkpoints written before a log field existed load fine
+        vals.setdefault("log_rr", jnp.zeros(()))
+        return IpmState(**vals)
 
     # ------------------------------------------------------------------
     # host driver
@@ -1231,12 +1269,16 @@ class IpmSolver:
             st = self.load_checkpoint(resume_from)
         else:
             st = self._init_jit(x0, y0s, consts)
-        timers = {"build": np.nan, "step_total": 0.0}
+        # first_chunk isolates the first jitted dispatch (compile +
+        # cache-miss cost on remote-compile setups) from the warm steps so
+        # callers can report compile_s and warm iter/s as separate
+        # first-class metrics instead of conflating them into solve_time
+        timers = {"build": np.nan, "step_total": 0.0, "first_chunk": np.nan}
         status = "max_iter"
         verbose = o["print_level"] >= 5
         if verbose:
             print("iter    objective    inf_pr   inf_du     mu    "
-                  "alpha  alpha_z  ls   dw")
+                  "alpha  alpha_z  ls   dw      rr")
         it = 0
         resto_entries = 0
         chunk = 1 if verbose else 32
@@ -1268,14 +1310,18 @@ class IpmSolver:
                     st = self._run_jit(st, consts, cap)
             code = int(st.status)
             it = int(st.iter)
-            timers["step_total"] += time.time() - t0
+            dt_chunk = time.time() - t0
+            timers["step_total"] += dt_chunk
+            if np.isnan(timers["first_chunk"]):
+                timers["first_chunk"] = dt_chunk
             if code == DEMOTE_F32:
                 # precision handover: same state, f64 step set from here on
                 f32_demoted = True
                 st = st._replace(status=jnp.asarray(RUNNING, jnp.int32))
                 if verbose:
                     print(f"{it:4d}  -- f32 factorization demoted to f64 "
-                          f"(mu={float(st.mu):.1e}) --")
+                          f"(mu={float(st.mu):.1e}, rr={float(st.log_rr):.1e},"
+                          f" ls={int(st.log_ls)}) --")
                 continue
             if code == NEED_RESTORATION:
                 if resto_entries < o["resto_max_entries"]:
@@ -1303,7 +1349,7 @@ class IpmSolver:
                       f"{float(st.log_inf_pr):8.2e} {float(st.log_inf_du):8.2e} "
                       f"{float(st.mu):7.1e} {float(st.log_alpha):6.4f} "
                       f"{float(st.log_alpha_z):6.4f} {int(st.log_ls):3d} "
-                      f"{float(st.log_delta_w):7.1e}")
+                      f"{float(st.log_delta_w):7.1e} {float(st.log_rr):7.1e}")
             if checkpoint_path and checkpoint_every and \
                     it // checkpoint_every != \
                     (it - chunk) // checkpoint_every:
