@@ -165,7 +165,16 @@ class BlockTridiagKKT:
     native f32 -- on TPU this runs on the hardware path instead of the
     emulated-f64 one -- while the IPM's f64 iterative refinement (driven
     through :meth:`matvec` on the f64 blocks) restores full accuracy.
+
+    ``assemble_dtype`` independently lowers the K assembly (Hessian AD
+    sweep + block scatter) and therefore the refinement REFERENCE:
+    unset, K stays f64 and refinement recovers f64-quality steps from the
+    f32 factors (the classical factor-low/refine-high IR scheme); set to
+    f32, the whole step set is low-precision (cheapest, but steps carry
+    ~1e-7-relative model error).
     """
+
+    assemble_dtype = None
 
     def __init__(self, model, max_block=512, min_blocks=4, max_border=4096,
                  factor_dtype=None, mesh=None, mesh_axis="sp"):
@@ -345,12 +354,13 @@ class BlockTridiagKKT:
     def assemble(self, x, theta, lam, sigma, d, diag_extra):
         m = self.model
         # low-precision mode: the whole Hessian AD sweep AND the block
-        # scatter run in the factorization dtype (native f32 on TPU vs the
+        # scatter run in ``assemble_dtype`` (native f32 on TPU vs the
         # emulated-f64 path).  The refinement then measures residuals
         # against this K -- a ~1e-7-relative model of the true system,
-        # plenty for the barrier phases the f32 step set serves; the f64
-        # step set keeps its exact-f64 assembly.
-        fdt = self.factor_dtype
+        # plenty for the barrier phases the fully-f32 step set serves.
+        # With only ``factor_dtype`` set (the "ir32" scheme), assembly
+        # stays exact f64 and the refinement target is the true system.
+        fdt = self.assemble_dtype
         vals = m.kkt_vals(x, theta, lam, sigma, d, dtype=fdt)
         dt = vals.dtype
         nb, bs, mB = self.nb, self.bs, self.mB

@@ -167,6 +167,27 @@ DEFAULTS = dict(
     refine_max_f32=4,
     refine_tol_f32=1e-6,
     refine_accept_f32=1e-4,
+    # ir32 step set: the refinement reference is the exact f64 K, so the
+    # loop can actually reach f64 quality -- but its contraction rate is
+    # ~kappa(K)*eps_f32, which drifts toward 1 as mu shrinks.  Each round
+    # costs only an f32 triangular solve + f64 matvec (cheap next to an
+    # emulated-f64 factorization), so run MANY rounds and keep going at
+    # modest contraction instead of bailing at the 0.3-rate cutoff the
+    # f64 sets use.  A step that lands within refine_accept_f32 of the
+    # true system is at least as good as a pure-f32 step (which certifies
+    # on-chip), so accept it rather than demote; demote only below that.
+    refine_max_ir=25,
+    refine_contract=0.3,     # stop refining when rate exceeds this
+    refine_contract_ir=0.95,
+    # ir32 acceptance is mu-scaled (inexact-IPM: the tolerable step error
+    # scales with the barrier parameter): accept rr <= clamp(factor*mu,
+    # refine_accept_f32, 1e-2).  Observed on-chip (quad-1000): the f32+IR
+    # residual floors at ~1e-3 relative through the mu=1.8e-5 barrier
+    # phase -- steps the filter line search takes at full alpha and no
+    # worse than the pure-f32 mode's (which certifies first_order) --
+    # then demotion fires at mu~1e-7 for the f64 endgame polish, exactly
+    # where f32 factors genuinely run out of precision.
+    refine_mu_factor_ir=100.0,
     max_reg_tries=30,
     y_reset_cap=1e3,
     kappa_d=1e-5,
@@ -176,11 +197,16 @@ DEFAULTS = dict(
     max_wall_time=1e20,
     mu_min_fraction=0.1,     # mu floor = tol * this
     # "float64": emulated-f64 factorization throughout.
-    # "float32": native-MXU f32 factorization for as long as the f64
-    #            iterative refinement keeps contracting; a refinement
-    #            failure demotes the solve to the f64 step set (residual-
-    #            driven handover, no mu threshold).
-    # "mixed":   f32 factorization while mu > mu_switch_f32, then f64 --
+    # "ir32":    f64 assembly + native-MXU f32 factorization, refined
+    #            against the exact f64 system (classical factor-low/
+    #            refine-high IR): f64-quality steps at f32 factor cost for
+    #            as long as the refinement contracts, then a residual-
+    #            driven demotion to the all-f64 step set.
+    # "float32": the whole step set low-precision -- assembly AND
+    #            factorization in f32 (cheapest per step; the refinement
+    #            reference is the f32 K, so steps carry ~1e-7 model error)
+    #            until refinement failure demotes to f64.
+    # "mixed":   like "float32" while mu > mu_switch_f32, then f64 --
     #            plus the same residual-driven demotion as a safety net.
     factor_dtype="float64",
     mu_switch_f32=1e-4,
@@ -239,12 +265,16 @@ class IpmSolver:
         # is the only handover).  The f64 view is always retained: an
         # f32-only factorization stalls once kappa(K)*eps_f32 ~ 1.
         self.kkt32 = None
-        if (self.opts["factor_dtype"] in ("mixed", "float32")
+        if (self.opts["factor_dtype"] in ("mixed", "float32", "ir32")
                 and hasattr(kkt, "factor_dtype")):
             import copy
 
             self.kkt32 = copy.copy(kkt)
             self.kkt32.factor_dtype = jnp.float32
+            # "ir32" keeps assembly (and therefore the refinement
+            # reference) in f64; the fully-low-precision modes lower both
+            if self.opts["factor_dtype"] != "ir32":
+                self.kkt32.assemble_dtype = jnp.float32
         self._build_jits()
         self._consts_cache = None
 
@@ -635,11 +665,29 @@ class IpmSolver:
         # the fully-low-precision step set computes the refinement residual
         # itself in f32, whose noise floor sits just above the f64
         # acceptance (observed rr ~ 1e-6 at the f32 floor); hold it to the
-        # f32 thresholds instead or every step demotes instantly
-        sfx = "_f32" if can_demote else ""
-        refine_tol = o["refine_tol" + sfx]
-        refine_accept = o["refine_accept" + sfx]
-        refine_max = o["refine_max" + sfx]
+        # f32 thresholds instead or every step demotes instantly.  The
+        # "ir32" step set refines against the exact f64 K: aim for the f64
+        # target with the long/loose ir loop, but ACCEPT anything at least
+        # as good as a pure-f32 step (refine_accept_f32 vs the true
+        # system) -- demoting the whole solve because one iterate only
+        # reached f32 quality throws away the cheap factorization exactly
+        # when the barrier phase tolerates inexact steps (observed
+        # on-chip: quad-1000 certifies first_order on pure-f32 steps).
+        lowprec_ref = (can_demote
+                       and getattr(kkt, "assemble_dtype", None) is not None)
+        ir_ref = can_demote and not lowprec_ref
+        sfx = "_f32" if lowprec_ref else ""
+        refine_tol = o["refine_tol" if ir_ref else "refine_tol" + sfx]
+        refine_accept = o["refine_accept_f32" if ir_ref
+                          else "refine_accept" + sfx]
+        refine_max = o["refine_max_ir" if ir_ref else "refine_max" + sfx]
+        refine_contract = o["refine_contract_ir" if ir_ref
+                            else "refine_contract"]
+        if ir_ref:
+            # mu-scaled acceptance (traced: mu is this iteration's barrier
+            # parameter, already updated above) -- see refine_mu_factor_ir
+            refine_accept = jnp.clip(o["refine_mu_factor_ir"] * mu,
+                                     refine_accept, 1e-2)
 
         def make_step(delta_w, delta_c):
             inv_ss = 1.0 / (sigma_s + delta_w)
@@ -677,7 +725,7 @@ class IpmSolver:
                     _, resid, prev, i = val
                     rr = jnp.linalg.norm(resid) / rhs_norm
                     return ((rr > refine_tol)
-                            & (rr < 0.3 * prev)
+                            & (rr < refine_contract * prev)
                             & (i < refine_max))
 
                 def ref_body(val):
@@ -1282,9 +1330,9 @@ class IpmSolver:
         it = 0
         resto_entries = 0
         chunk = 1 if verbose else 32
-        # "float32": no mu-based handover -- the f32 path runs until its
-        # refinement stops contracting (DEMOTE_F32)
-        mu_switch = (0.0 if o["factor_dtype"] == "float32"
+        # "float32"/"ir32": no mu-based handover -- the low-precision path
+        # runs until its refinement stops contracting (DEMOTE_F32)
+        mu_switch = (0.0 if o["factor_dtype"] in ("float32", "ir32")
                      else o["mu_switch_f32"])
         f32_demoted = False
         while it < o["max_iter"]:

@@ -258,13 +258,13 @@ class ShardedScenarioKKT(BlockTridiagKKT):
         fams = self._al_fams
         rep = P()
 
-        fdt = self.factor_dtype
+        fdt = self.assemble_dtype
 
         def local(x, theta, lam, sigma, d, diag_extra, tgt, dg, pad_tgt,
                   *tabs):
             if fdt is not None:
                 # low-precision step set: Hessian AD sweep + scatter run in
-                # the factorization dtype (see BlockTridiagKKT.assemble)
+                # the assembly dtype (see BlockTridiagKKT.assemble)
                 x, theta, lam, sigma, d, diag_extra = (
                     a.astype(fdt)
                     for a in (x, theta, lam, sigma, d, diag_extra))
