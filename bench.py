@@ -125,8 +125,38 @@ def run_child(kind, size, timeout, platform="device"):
         return {"error": str(e)[:300]}
 
 
+def device_available(timeout=240):
+    """Quick health probe of the tunneled TPU in a subprocess: device init
+    plus one tiny matmul.  The tunnel is observed to go UNAVAILABLE for
+    stretches (backend init then hangs minutes before erroring); a solve
+    attempt during such a window would eat the whole cascade budget."""
+    code = ("import jax, jax.numpy as jnp\n"
+            "x = jnp.ones((8, 8))\n"
+            "print('ok', (x @ x).sum())\n")
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True,
+                             timeout=timeout)
+        return "ok" in out.stdout
+    except Exception:
+        return False
+
+
 def main():
     detail = {}
+    if not device_available():
+        # tunnel down: report the host-CPU path (the framework's own
+        # Ipopt-role reference) as an honestly-labeled fallback metric
+        cpu = run_child("quad", 1000, CPU_TIMEOUT_S, platform="cpu")
+        out = {
+            "metric": "quad1000_ipm_iterations_per_s_CPU_FALLBACK",
+            "value": cpu.get("iters_per_s", 0.0),
+            "unit": "iter/s",
+            "vs_baseline": 0.0,
+            "detail": {"error": "tpu tunnel unavailable", **cpu},
+        }
+        print(json.dumps(out))
+        return
     primary = run_child("quad", 1000, QUAD_TIMEOUT_S)
     if "error" in primary:
         detail["quad1000"] = primary

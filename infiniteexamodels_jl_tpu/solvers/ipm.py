@@ -188,6 +188,12 @@ DEFAULTS = dict(
     # then demotion fires at mu~1e-7 for the f64 endgame polish, exactly
     # where f32 factors genuinely run out of precision.
     refine_mu_factor_ir=100.0,
+    # cap on the mu-scaled refinement TARGET (see refine_tol selection in
+    # the step): the loosest residual the hot-phase loop is allowed to
+    # stop at.  1e-4-and-looser caps measurably inflate the IPM iteration
+    # count (quad-200: 8 -> 23); 1e-6 keeps the full-refinement trajectory
+    # while still skipping the 1e-9 polish rounds in the hot phase.
+    refine_tol_cap_ir=1e-6,
     max_reg_tries=30,
     y_reset_cap=1e3,
     kappa_d=1e-5,
@@ -688,6 +694,18 @@ class IpmSolver:
             # parameter, already updated above) -- see refine_mu_factor_ir
             refine_accept = jnp.clip(o["refine_mu_factor_ir"] * mu,
                                      refine_accept, 1e-2)
+            # mu-scaled refinement TARGET as well: chasing the f64 target
+            # (refine_tol) in the hot barrier phase costs extra f64-matvec
+            # + f32-solve rounds per step for accuracy the filter never
+            # uses (observed on-chip: quad-1000 rr columns reach
+            # 1e-10..1e-13 while acceptance sits at 1e-4..1e-2).  Unlike
+            # the acceptance, the target is NOT floored at f32 quality --
+            # it tightens with mu all the way to refine_tol so the endgame
+            # Newton steps stay near-exact and the superlinear tail is
+            # preserved (floor-at-5e-6 variant measured +8..11 IPM
+            # iterations on quad-200)
+            refine_tol = jnp.clip(0.05 * o["refine_mu_factor_ir"] * mu,
+                                  refine_tol, o["refine_tol_cap_ir"])
 
         def make_step(delta_w, delta_c):
             inv_ss = 1.0 / (sigma_s + delta_w)
@@ -1252,6 +1270,17 @@ class IpmSolver:
         prof = {}
         prof["eval_obj_grad"] = timed(jax.jit(m.obj_and_grad), x, theta)
         prof["eval_cons_jac"] = timed(jax.jit(m.cons_and_jac), x, theta)
+        # the Hessian AD sweep alone (assemble = this + the block scatter):
+        # splits the assemble cost so the emulated-f64 share is attributable
+        prof["kkt_vals"] = timed(
+            jax.jit(lambda xx, ll, dd: m.kkt_vals(
+                xx, theta, ll, consts["sf"] * m.sense, dd)), x, lam, d)
+        if self.kkt32 is not None and \
+                getattr(self.kkt32, "assemble_dtype", None) is not None:
+            prof["kkt_vals_f32"] = timed(
+                jax.jit(lambda xx, ll, dd: m.kkt_vals(
+                    xx, theta, ll, consts["sf"] * m.sense, dd,
+                    dtype=self.kkt32.assemble_dtype)), x, lam, d)
         asm = jax.jit(lambda xx, ll, dd, ee: self.kkt.assemble(
             xx, theta, ll, consts["sf"] * m.sense, dd, ee))
         K = asm(x, lam, d, de)
