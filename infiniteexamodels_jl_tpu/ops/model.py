@@ -310,6 +310,43 @@ class SimdModel:
         # (kx,kx) Hessian flattened in C order == pairs (a,b) meshgrid order
         return slice(None)
 
+    def hvp_lag(self, x, theta, lam, sigma, v):
+        """Lagrangian Hessian-vector product
+        ``(sigma * H_f + sum_i lam_i * H_{c_i}) @ v`` without materializing
+        any Hessian values: per family one vmapped jvp-of-grad sweep over
+        the row-gathered slices of ``v`` (cost ~2 gradient sweeps).
+
+        This is the matrix-free half of the ir32 refinement reference: the
+        f32-assembled K feeds the factorization while the refinement
+        residual is measured against the TRUE f64 operator via this + the
+        COO ``jprod``/``jtprod`` (classical factor-low/refine-high IR
+        without ever paying the emulated-f64 Hessian scatter)."""
+        out = jnp.zeros(self.nvar, v.dtype)
+        for fam in self.con_fams + self.obj_fams:
+            if fam.kx == 0:
+                continue
+            xg, pg, fv = self._gather(fam, x, theta)
+            vidx = self._fam_dev[id(fam)][0]
+            vg = v[vidx]                                  # (n_pad, kx)
+
+            def hvp_row(xr, vr, pr, fr, fn=fam.fn):
+                g = lambda z: jax.grad(fn)(z, pr, fr)
+                return jax.jvp(g, (xr,), (vr,))[1]
+
+            Hv = jax.vmap(hvp_row)(xg, vg, pg, fv)        # (n_pad, kx)
+            if fam in self.obj_fams:
+                w = jnp.full(Hv.shape[0], sigma, Hv.dtype)
+            else:
+                w = jnp.zeros(Hv.shape[0], Hv.dtype)
+                w = jax.lax.dynamic_update_slice_in_dim(
+                    w, jax.lax.dynamic_slice_in_dim(
+                        lam, fam.offset, fam.n).astype(Hv.dtype), 0, axis=0)
+            mask = self._fam_mask(fam)
+            if mask is not None:
+                w = w * mask
+            out = out.at[vidx.reshape(-1)].add((w[:, None] * Hv).reshape(-1))
+        return out
+
     def kkt_vals(self, x, theta, lam, sigma, d, dtype=None):
         """COO values of the condensed-KKT sparse part
         ``sigma*H_f + sum lam_i H_ci + J^T diag(d) J`` on the Hessian

@@ -355,11 +355,12 @@ class BlockTridiagKKT:
         m = self.model
         # low-precision mode: the whole Hessian AD sweep AND the block
         # scatter run in ``assemble_dtype`` (native f32 on TPU vs the
-        # emulated-f64 path).  The refinement then measures residuals
-        # against this K -- a ~1e-7-relative model of the true system,
-        # plenty for the barrier phases the fully-f32 step set serves.
-        # With only ``factor_dtype`` set (the "ir32" scheme), assembly
-        # stays exact f64 and the refinement target is the true system.
+        # emulated-f64 path).  The "float32"/"mixed" step sets also measure
+        # refinement residuals against this K (a ~1e-7-relative model of
+        # the true system, plenty for the barrier phases they serve); the
+        # "ir32" step set instead refines matrix-free against the exact
+        # f64 operator (SimdModel.hvp_lag + COO J products), so this K
+        # only ever feeds the f32 factorization.
         fdt = self.assemble_dtype
         vals = m.kkt_vals(x, theta, lam, sigma, d, dtype=fdt)
         dt = vals.dtype

@@ -131,14 +131,15 @@ def test_mixed_precision_factorization_converges():
     assert rfb.status == "first_order"
     assert rfb.objective == pytest.approx(r64b.objective, rel=1e-9)
 
-    # "ir32": f64 assembly + f32 factorization, refined against the exact
-    # f64 system (classical factor-low/refine-high IR) -- f64-quality
-    # steps, so it must hold the f64 refinement thresholds and certify
-    # without ever demoting on these well-conditioned problems.
+    # "ir32": f32 assembly + f32 factorization, refined MATRIX-FREE
+    # against the exact f64 operator (hvp_lag + COO jprod/jtprod --
+    # classical factor-low/refine-high IR without materializing an f64 K)
+    # -- f64-quality steps, so it must certify at tol=1e-8 without ever
+    # demoting on these well-conditioned problems.
     si = S(simd, print_level=0, linear_solver="auto", tol=1e-8,
            factor_dtype="ir32")
     assert si.kkt32 is not None
-    assert si.kkt32.assemble_dtype is None  # assembly stays exact f64
+    assert si.kkt32.assemble_dtype == jnp.float32  # K feeds only factor
     ri = si.solve()
     assert ri.status == "first_order"
     assert ri.objective == pytest.approx(r64.objective, abs=1e-7)

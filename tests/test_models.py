@@ -102,6 +102,29 @@ def test_pandemic():
     assert np.all(uv >= -1e-6) and np.all(uv <= 0.8 + 1e-6)
 
 
+def test_pandemic_limit_cycle_escape():
+    """At the reference's larger pandemic sweep sizes ((100,8)/(100,128),
+    ESCAPE34/run_cases_cpu.jl:108-110) the degenerate dual ray produces an
+    endgame LIMIT CYCLE: the iterate repeatedly touches the solution
+    (E ~ 1e-4) but the next dual step overshoots along the unbounded
+    multiplier ray and a 40-backtrack failure resets -- previously burning
+    max_iter=600 with the final state RUINED (du ~ 7.6e+2).  The
+    near-optimal-visit counter must (a) terminate "acceptable" and
+    (b) hand back the BEST iterate (primal ~ tol, dual at its cycle
+    minimum), the Ipopt SOLVED_TO_ACCEPTABLE_LEVEL role."""
+    m = pandemic(num_supports=100, num_scenarios=8)
+    m.set_transformation_backend(
+        ExaTranscriptionBackend(IpmSolver, linear_solver="auto", tol=1e-6))
+    m.set_silent()
+    m.set_attribute("max_iter", 600)
+    res = m.optimize()
+    assert res.status == "acceptable"
+    assert res.iter < 600
+    assert res.primal_feas <= 1e-5
+    assert res.dual_feas <= 1e-2          # best iterate, not the ruined one
+    assert m.objective_value() == pytest.approx(30.346, abs=5e-3)
+
+
 def test_kinetics_small():
     m = attach(kinetic_control(num_supports=30))
     res = m.optimize()
