@@ -110,14 +110,14 @@ mpc.bus = [
     3  2  95.0   50.0  0.0  0.0  1  1.0  0.0  240.0  1  1.1  0.9;
 ];
 mpc.gen = [
-    1  150.0  0.0  150.0  -150.0  1.0  100.0  1  300.0  0.0;
-    2  100.0  0.0  150.0  -150.0  1.0  100.0  1  250.0  0.0;
-    3  80.0   0.0  150.0  -150.0  1.0  100.0  1  200.0  0.0;
+    1  150.0  0.0  250.0  -250.0  1.0  100.0  1  600.0  0.0;
+    2  100.0  0.0  250.0  -250.0  1.0  100.0  1  500.0  0.0;
+    3  80.0   0.0  250.0  -250.0  1.0  100.0  1  400.0  0.0;
 ];
 mpc.branch = [
-    1  2  0.065  0.62  0.45  150.0  0.0  0.0  0.0  0.0  1  -30.0  30.0;
-    2  3  0.025  0.75  0.70  110.0  0.0  0.0  0.0  0.0  1  -30.0  30.0;
-    1  3  0.042  0.90  0.30  130.0  0.0  0.0  0.0  0.0  1  -30.0  30.0;
+    1  2  0.065  0.62  0.45  250.0  0.0  0.0  0.0  0.0  1  -30.0  30.0;
+    2  3  0.025  0.75  0.70  200.0  0.0  0.0  0.0  0.0  1  -30.0  30.0;
+    1  3  0.042  0.90  0.30  220.0  0.0  0.0  0.0  0.0  1  -30.0  30.0;
 ];
 mpc.gencost = [
     2  0.0  0.0  3  0.11  5.0  0.0;
