@@ -35,8 +35,9 @@ import re
 import sys
 import time
 
-N_DEV = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-N_SCEN = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+_pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+N_DEV = int(_pos[0]) if len(_pos) > 0 else 4
+N_SCEN = int(_pos[1]) if len(_pos) > 1 else 512
 
 if "--cpu" in sys.argv:
     os.environ.setdefault(
