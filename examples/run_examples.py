@@ -1,10 +1,24 @@
 """Run every example model family end-to-end at moderate sizes
-(the reference's examples/runexamples.jl)."""
+(the reference's examples/runexamples.jl).
+
+Runs on the host CPU by default (these are correctness demos; the
+tunneled-TPU ambient platform pays minutes-scale remote compiles and
+hangs outright when the tunnel is unavailable).  Pass ``--device`` to
+keep the ambient platform.
+"""
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+if "--device" not in sys.argv:
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
 from infiniteexamodels_jl_tpu.backend import ExaTranscriptionBackend
 from infiniteexamodels_jl_tpu.solvers import IpmSolver
