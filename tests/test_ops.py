@@ -135,3 +135,27 @@ def test_maximize_sense():
     core.add_obj(-abs2(x.entry() - 2.0))
     m = core.build()
     assert m.sense == -1.0
+
+
+def test_hvp_lag_matches_dense_hessian():
+    """The matrix-free Lagrangian Hessian-vector product (the ir32
+    refinement's exact-f64 reference, SimdModel.hvp_lag) must equal the
+    densified hess_vals COO Hessian applied to the same vector, on a model
+    with constraint AND objective curvature and slot aliasing."""
+    from infiniteexamodels_jl_tpu.models import quad
+    from infiniteexamodels_jl_tpu.transcribe import transcribe
+
+    m, _ = transcribe(quad(num_supports=7))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0.5, 0.2, m.nvar))
+    v = jnp.asarray(rng.normal(size=m.nvar))
+    lam = jnp.asarray(rng.normal(size=m.ncon))
+    sigma = 1.3
+
+    hv = np.asarray(m.hvp_lag(x, m.theta, lam, sigma, v))
+
+    vals = np.asarray(m.hess_vals(x, m.theta, lam, sigma))
+    H = np.zeros((m.nvar, m.nvar))
+    np.add.at(H, (np.asarray(m.hess_rows_np), np.asarray(m.hess_cols_np)),
+              vals)
+    np.testing.assert_allclose(hv, H @ np.asarray(v), rtol=1e-10, atol=1e-10)
