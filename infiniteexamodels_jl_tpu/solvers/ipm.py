@@ -84,6 +84,12 @@ class IpmState(NamedTuple):
     mu: jnp.ndarray
     tau: jnp.ndarray
     delta_w_last: jnp.ndarray
+    # consecutive iterations where the delta_w = 0 first attempt was probed
+    # and FAILED: drives the sticky-regularization policy (skip the doomed
+    # zero probe while the streak persists -- on platforms where each
+    # factorization is the dominant per-iteration cost, e.g. emulated-f64
+    # TPU, the zero probe failing 5+ iterations straight doubles step time)
+    zero_fail_streak: jnp.ndarray
     filter_theta: jnp.ndarray   # (FILTER_SIZE,)
     filter_phi: jnp.ndarray
     filter_len: jnp.ndarray
@@ -223,6 +229,20 @@ DEFAULTS = dict(
     # primal at ~tol throughout, dual ray oscillating 1e-3 <-> 1e+3).
     acceptable_visit_tol_factor=1e3,
     acceptable_visit_limit=25,
+    # sticky regularization: after this many CONSECUTIVE failures of the
+    # delta_w = 0 first attempt, start the ladder at the warm value
+    # max(delta_w_min, kappa_w_minus * delta_w_last) instead -- the exact
+    # value the failed probe would have retried with, so the trajectory is
+    # unchanged whenever zero would have failed again, and one factorization
+    # per iteration is saved.  Every reg_zero_reprobe-th iteration probes
+    # zero regardless so the exact Newton step returns as soon as it works
+    # (and kappa_w_minus decay drives the warm value to ~0 meanwhile, so
+    # local superlinear convergence survives even without a lucky reprobe).
+    # Measured motivation: on-chip emulated-f64 quadrotor runs spent 7
+    # consecutive iterations failing the zero probe (2 factorizations per
+    # step where 1 suffices).
+    reg_zero_skip_streak=2,
+    reg_zero_reprobe=8,
     max_reg_tries=30,
     y_reset_cap=1e3,
     kappa_d=1e-5,
@@ -512,6 +532,7 @@ class IpmSolver:
             x=x, s=s, y=y0, zl=zl, zu=zu, lz=lz, uz=uz, mu=mu,
             tau=jnp.maximum(o["tau_min"], 1.0 - mu),
             delta_w_last=jnp.zeros((), dt),
+            zero_fail_streak=jnp.asarray(0, jnp.int32),
             filter_theta=ft, filter_phi=fp,
             filter_len=jnp.asarray(1, jnp.int32),
             iter=jnp.asarray(0, jnp.int32),
@@ -940,14 +961,24 @@ class IpmSolver:
             _, _, ok, tries, _, demote, _, _ = val
             return (~ok) & (~demote) & (tries < o["max_reg_tries"])
 
+        # sticky regularization: while the zero probe has a live failure
+        # streak, start the ladder directly at the warm value it would have
+        # retried with (identical trajectory when zero would fail; one
+        # factorization per iteration saved); reprobe zero periodically
+        warm_dw = jnp.maximum(o["delta_w_min"],
+                              o["kappa_w_minus"] * st.delta_w_last)
+        skip_zero = ((st.zero_fail_streak >= o["reg_zero_skip_streak"])
+                     & (st.iter % o["reg_zero_reprobe"] != 0)
+                     & (st.delta_w_last > 0.0))
+        first_dw = jnp.where(skip_zero, warm_dw, 0.0)
+
         def reg_body(val):
             _, dw, ok, tries, dw_used, _, _, _ = val
             bump_from_zero = jnp.where(
                 st.delta_w_last == 0.0, o["delta_w_init"],
-                jnp.maximum(o["delta_w_min"],
-                            o["kappa_w_minus"] * st.delta_w_last))
+                warm_dw)
             dw_new = jnp.where(
-                tries == 0, 0.0,
+                tries == 0, first_dw,
                 jnp.where(dw == 0.0, bump_from_zero,
                           dw * jnp.where(st.delta_w_last == 0.0,
                                          o["kappa_w_plus_init"],
@@ -1225,6 +1256,13 @@ class IpmSolver:
             lz=lz, uz=uz,
             mu=mu, tau=tau,
             delta_w_last=jnp.where(dw_used > 0, dw_used, st.delta_w_last),
+            # streak bookkeeping: only iterations that actually PROBED zero
+            # update it (failure -> +1, success -> reset); skipped probes
+            # leave it until the next reprobe iteration settles the question
+            zero_fail_streak=jnp.where(
+                skip_zero, st.zero_fail_streak,
+                jnp.where(dw_used > 0, st.zero_fail_streak + 1,
+                          jnp.asarray(0, jnp.int32))).astype(jnp.int32),
             filter_theta=filter_theta, filter_phi=filter_phi,
             filter_len=filter_len.astype(jnp.int32),
             iter=(st.iter + jnp.where(stop, 0, 1)).astype(jnp.int32),
@@ -1400,6 +1438,7 @@ class IpmSolver:
             filter_len=jnp.asarray(1, jnp.int32),
             status=jnp.asarray(RUNNING, jnp.int32),
             ls_fail_count=jnp.asarray(0, jnp.int32),
+            zero_fail_streak=jnp.asarray(0, jnp.int32),
             acc_visits=jnp.asarray(0, jnp.int32),
             best_E=jnp.asarray(jnp.inf, dt),
             best_inf_pr=jnp.asarray(jnp.inf, dt),
@@ -1499,6 +1538,7 @@ class IpmSolver:
         vals.setdefault("best_zl", vals["zl"])
         vals.setdefault("best_zu", vals["zu"])
         vals.setdefault("log_E0", jnp.asarray(jnp.inf))
+        vals.setdefault("zero_fail_streak", jnp.zeros((), jnp.int32))
         return IpmState(**vals)
 
     # ------------------------------------------------------------------

@@ -209,3 +209,43 @@ def test_second_order_correction():
     assert r_on.status == "first_order"
     assert r_off.status == "first_order"
     assert r_on.objective == pytest.approx(r_off.objective, rel=1e-9)
+
+
+def test_sticky_regularization_streak():
+    """Sticky delta_w: a nonconvex problem fails the delta_w = 0 probe for
+    several consecutive iterations; the streak must be recorded (the skip
+    policy keys off it) and the solve must land on the same optimum with
+    the policy effectively disabled (huge skip threshold) -- skipping the
+    doomed probe only removes a wasted factorization, never changes the
+    accepted step."""
+    from infiniteexamodels_jl_tpu.solvers.ipm import IpmSolver as S
+
+    def make():
+        core = Core()
+        x = core.add_var((2,), lvar=-1.0, uvar=2.0,
+                         start=np.array([0.3, 0.4]), name="x")
+        core.add_obj(-abs2(x[0]) - abs2(x[1]))
+        return core.build()
+
+    m = make()
+    res = S(m, print_level=0).solve()
+    assert res.status == "first_order"
+    assert res.objective == pytest.approx(-8.0, abs=1e-6)
+
+    res_noskip = S(m, print_level=0, reg_zero_skip_streak=10**6).solve()
+    assert res_noskip.status == "first_order"
+    assert res_noskip.objective == pytest.approx(res.objective, abs=1e-9)
+
+    # step manually: the indefinite Hessian (-2I) defeats the zero probe
+    # early on, so the streak must accrue and delta_w stay positive
+    s = S(m, print_level=0)
+    consts = s._compute_consts(m.theta, m)
+    st = s._init_jit(m.x0, m.y0, consts)
+    streaks, dws = [], []
+    for _ in range(5):
+        st = s._step_jit(st, consts)
+        streaks.append(int(st.zero_fail_streak))
+        dws.append(float(st.log_delta_w))
+    assert streaks[0] >= 1
+    assert max(streaks) >= 2
+    assert all(d > 0.0 for d in dws[:3])
