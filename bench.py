@@ -5,10 +5,11 @@ quadrotor OCP (band-structured KKT, block-cyclic-reduction factorization).
 Remote-compile latency on the tunneled single-chip setup is minutes-scale
 and variable, so each candidate benchmark runs in a timeboxed subprocess
 and the harness cascades: quadrotor-1000 -> quadrotor-200 ->
-hovercraft-201 -> error JSON.  quad-1000 (44k vars) is the size where the
-batched factorization pulls ahead of the own-CPU reference (measured:
-0.63 it/s chip vs 0.185 it/s host, ~3.4x); at quad-200 the host still
-wins because 64-wide blocks underfill the MXU.
+hovercraft-201 -> error JSON.  The own-CPU reference at quad-1000 runs
+~2.5 it/s warm (f64, 4-core host); the chip's emulated-f64 path measured
+0.63 it/s, so the device headline rides on the ir32 step set (f32 MXU
+factors refined against the exact f64 operator: factor 651 -> 23 ms at
+this size) -- set IXM_BENCH_FDTYPE=ir32 once chip probes certify it.
 
 ``vs_baseline`` is measured, not invented: the same problem is solved by
 the same solver on the host CPU backend (the framework's own Ipopt-role

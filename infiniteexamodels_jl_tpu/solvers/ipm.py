@@ -240,9 +240,12 @@ DEFAULTS = dict(
     # local superlinear convergence survives even without a lucky reprobe).
     # Measured motivation: on-chip emulated-f64 quadrotor runs spent 7
     # consecutive iterations failing the zero probe (2 factorizations per
-    # step where 1 suffices).
-    reg_zero_skip_streak=2,
-    reg_zero_reprobe=8,
+    # step where 1 suffices).  Defaults tuned on CPU quad-1000: skip=2/
+    # reprobe=8 inflated 10 -> 13 iterations (early-phase damped steps);
+    # skip=3/reprobe=3 reproduces the no-skip trajectory exactly while
+    # still skipping ~2/3 of the doomed probes inside a chip-style streak.
+    reg_zero_skip_streak=3,
+    reg_zero_reprobe=3,
     max_reg_tries=30,
     y_reset_cap=1e3,
     kappa_d=1e-5,

@@ -248,4 +248,4 @@ def test_sticky_regularization_streak():
         dws.append(float(st.log_delta_w))
     assert streaks[0] >= 1
     assert max(streaks) >= 2
-    assert all(d > 0.0 for d in dws[:3])
+    assert all(d > 0.0 for d in dws[:2])
