@@ -1548,7 +1548,24 @@ class IpmSolver:
     # host driver
     # ------------------------------------------------------------------
     def solve(self, x0=None, y0=None, stats=None, resume_from=None,
-              checkpoint_path=None, checkpoint_every=0, **options):
+              checkpoint_path=None, checkpoint_every=0, trace_dir=None,
+              **options):
+        """Run the IPM.  With ``trace_dir`` set, the whole solve is
+        captured as a jax profiler trace (XLA op-level timeline viewable
+        in TensorBoard/Perfetto) -- the structured complement to the
+        host-side ``timers`` split (SURVEY.md §5: the reference only
+        parses solver text logs post-hoc)."""
+        if trace_dir is None:
+            return self._solve_impl(x0, y0, stats, resume_from,
+                                    checkpoint_path, checkpoint_every,
+                                    **options)
+        with jax.profiler.trace(str(trace_dir)):
+            return self._solve_impl(x0, y0, stats, resume_from,
+                                    checkpoint_path, checkpoint_every,
+                                    **options)
+
+    def _solve_impl(self, x0=None, y0=None, stats=None, resume_from=None,
+                    checkpoint_path=None, checkpoint_every=0, **options):
         if options:
             self.set_options(**options)
         o = self.opts

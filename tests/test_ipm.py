@@ -249,3 +249,19 @@ def test_sticky_regularization_streak():
     assert streaks[0] >= 1
     assert max(streaks) >= 2
     assert all(d > 0.0 for d in dws[:2])
+
+
+def test_profiler_trace_dir(tmp_path):
+    """trace_dir captures a jax profiler trace of the solve (SURVEY §5)."""
+    import os
+
+    core = Core()
+    x = core.add_var((), uvar=1.0, name="x")
+    core.add_obj(abs2(x.entry() - 2.0))
+    m = core.build()
+    res = IpmSolver(m, print_level=0).solve(trace_dir=str(tmp_path))
+    assert res.status == "first_order"
+    found = [os.path.join(r, f) for r, _, fs in os.walk(tmp_path)
+             for f in fs]
+    assert any(f.endswith((".pb", ".json.gz", ".trace.json.gz"))
+               for f in found), found
