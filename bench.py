@@ -29,8 +29,10 @@ import time
 import jax
 
 try:
-    os.makedirs("/tmp/ixm_jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/ixm_jax_cache")
+    # home-dir cache: survives /tmp cleanup between driver rounds, so the
+    # minutes-scale remote-tunnel compiles are paid once per machine
+    os.makedirs("/root/.ixm_jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/.ixm_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass
@@ -44,9 +46,12 @@ except Exception:
     pass
 
 RUN_OPF = os.environ.get("IXM_BENCH_OPF", "0") != "0"
-# factorization precision for the device runs ("float64"/"float32"/"mixed");
-# the CPU reference column always runs f64
-FDTYPE = os.environ.get("IXM_BENCH_FDTYPE", "float64")
+# factorization precision for the device runs ("ir32"/"float64"/"float32"/
+# "mixed"); the CPU reference column always runs f64.  ir32 (f32 MXU factors
+# + CG refinement against the exact f64 operator) is the default: certified
+# on-chip at quad-1000 (first_order, 0.81 it/s warm vs 0.63 for emulated
+# f64); main() re-runs in f64 if the ir32 attempt fails to certify.
+FDTYPE = os.environ.get("IXM_BENCH_FDTYPE", "ir32")
 QUAD_TIMEOUT_S = int(os.environ.get("IXM_BENCH_QUAD_TIMEOUT", "560"))
 FALLBACK_TIMEOUT_S = int(os.environ.get("IXM_BENCH_FALLBACK_TIMEOUT", "420"))
 OPF_TIMEOUT_S = int(os.environ.get("IXM_BENCH_OPF_TIMEOUT", "420"))
@@ -110,12 +115,15 @@ def child(kind, size, platform):
     }))
 
 
-def run_child(kind, size, timeout, platform="device"):
+def run_child(kind, size, timeout, platform="device", fdtype=None):
+    env = os.environ.copy()
+    if fdtype is not None:
+        env["IXM_BENCH_FDTYPE"] = fdtype
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child",
              kind, str(size), platform],
-            capture_output=True, text=True, timeout=timeout)
+            capture_output=True, text=True, timeout=timeout, env=env)
         lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
         if lines:
             return json.loads(lines[-1])
@@ -158,7 +166,17 @@ def main():
         }
         print(json.dumps(out))
         return
+    def certified(r):
+        return r.get("status") in ("first_order", "acceptable")
+
     primary = run_child("quad", 1000, QUAD_TIMEOUT_S)
+    if "error" not in primary and not certified(primary) \
+            and FDTYPE != "float64":
+        # low-precision step set failed to certify on this problem/chip:
+        # fall back to the emulated-f64 path at the same size
+        detail[f"quad1000_{FDTYPE}"] = primary
+        primary = run_child("quad", 1000, QUAD_TIMEOUT_S,
+                            fdtype="float64")
     if "error" in primary:
         detail["quad1000"] = primary
         primary = run_child("quad", 200, QUAD_TIMEOUT_S)
