@@ -5,5 +5,5 @@ from .pandemic import pandemic  # noqa: F401
 from .kinetics import kinetic_control  # noqa: F401
 from .farmer import farmer  # noqa: F401
 from .design_3node import design_3node  # noqa: F401
-from .opf import opf  # noqa: F401
-from .matpower import parse_matpower, build_ref, CASE3  # noqa: F401
+from .opf import opf, opf_static  # noqa: F401
+from .matpower import parse_matpower, build_ref, CASE3, CASE3_LMBD  # noqa: F401

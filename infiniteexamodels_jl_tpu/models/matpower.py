@@ -38,10 +38,17 @@ def parse_matpower(text):
     }
 
 
-def build_ref(case):
+def build_ref(case, thermal_limits=True):
     """Derive the network reference structure (PowerModels build_ref
     analogue): per-unit loads/limits, branch admittances, tap ratios, arcs,
-    bus incidence maps."""
+    bus incidence maps.
+
+    ``thermal_limits`` applies the PowerModels ``calc_thermal_limits!``
+    step the reference pipeline runs (ESCAPE34/opf.jl:32): each branch's
+    per-unit rate is capped at ``|y| * max(vmax_f, vmax_t) * c_max`` with
+    ``c_max = sqrt(vmax_f^2 + vmax_t^2 - 2 vmax_f vmax_t cos(theta_max))``,
+    which replaces placeholder ratings (pglib's 9000 MVA) by the largest
+    physically attainable flow."""
     baseMVA = case["baseMVA"]
     buses, gens, branches = {}, {}, {}
     ref_buses = []
@@ -76,13 +83,23 @@ def build_ref(case):
         y2 = r * r + x * x
         g, b = r / y2, -x / y2
         tr, ti = ratio * math.cos(shift), ratio * math.sin(shift)
+        angmin = math.radians(row[11] if row[11] != 0 else -60.0)
+        angmax = math.radians(row[12] if row[12] != 0 else 60.0)
+        if thermal_limits:
+            y_mag = 1.0 / math.sqrt(y2)
+            vmax_f = buses[f]["vmax"]
+            vmax_t = buses[t_]["vmax"]
+            theta_max = max(abs(angmin), abs(angmax))
+            c_max = math.sqrt(vmax_f**2 + vmax_t**2
+                              - 2 * vmax_f * vmax_t * math.cos(theta_max))
+            rate_a = min(rate_a, y_mag * max(vmax_f, vmax_t) * c_max)
         branches[li] = dict(
             f_bus=f, t_bus=t_, g=g, b=b, tr=tr, ti=ti,
             ttm=tr * tr + ti * ti,
             g_fr=0.0, b_fr=bch / 2.0, g_to=0.0, b_to=bch / 2.0,
             rate_a=rate_a,
-            angmin=math.radians(row[11] if row[11] != 0 else -60.0),
-            angmax=math.radians(row[12] if row[12] != 0 else 60.0))
+            angmin=angmin,
+            angmax=angmax)
         arcs.append((li, f, t_))
         arcs.append((li, t_, f))
     bus_arcs = {i: [] for i in buses}
@@ -96,10 +113,42 @@ def build_ref(case):
                 ref_buses=ref_buses)
 
 
-# A 3-bus case with the pglib_opf_case3_lmbd schema.  The true pglib file is
-# fetched over the network by the reference (ESCAPE34/opf.jl:13-21); this
-# environment has no egress, so a synthetic triangle network with the same
-# structure stands in (3 buses, 3 generators, 3 branches, quadratic costs).
+# The pglib-opf case3_lmbd network data (public dataset, keyed in from the
+# published case: B.C. Lesieutre, D.K. Molzahn, A.R. Borden, C.L. DeMarco,
+# "Examining the limits of the application of semidefinite programming to
+# power flow problems", Allerton 2011; pglib-opf repository).  The reference
+# downloads exactly this file at runtime (ESCAPE34/opf.jl:13-21).  The
+# checked-in text is validated by an external anchor: the published pglib
+# base-case AC-OPF objective 5812.64 $/h, reproduced by ``opf_static`` in
+# tests/test_models.py.
+CASE3_LMBD = """
+function mpc = pglib_opf_case3_lmbd
+mpc.version = '2';
+mpc.baseMVA = 100.0;
+mpc.bus = [
+    1  3  110.0  40.0  0.0  0.0  1  1.0  0.0  240.0  1  1.1  0.9;
+    2  2  110.0  40.0  0.0  0.0  1  1.0  0.0  240.0  1  1.1  0.9;
+    3  2  95.0   50.0  0.0  0.0  1  1.0  0.0  240.0  1  1.1  0.9;
+];
+mpc.gen = [
+    1  1000.0  0.0  1000.0  -1000.0  1.0  100.0  1  2000.0  0.0;
+    2  1000.0  0.0  1000.0  -1000.0  1.0  100.0  1  2000.0  0.0;
+    3  0.0     0.0  1000.0  -1000.0  1.0  100.0  1  0.0     0.0;
+];
+mpc.gencost = [
+    2  0.0  0.0  3  0.110000  5.000000  0.000000;
+    2  0.0  0.0  3  0.085000  1.200000  0.000000;
+    2  0.0  0.0  3  0.000000  0.000000  0.000000;
+];
+mpc.branch = [
+    1  3  0.065  0.62  0.45  9000.0  0.0  0.0  0.0  0.0  1  -30.0  30.0;
+    3  2  0.025  0.75  0.70  50.0    0.0  0.0  0.0  0.0  1  -30.0  30.0;
+    1  2  0.042  0.90  0.30  9000.0  0.0  0.0  0.0  0.0  1  -30.0  30.0;
+];
+"""
+
+# A synthetic 3-bus case with the same schema (kept as a second fixture for
+# parser/formulation tests; round-1/2 oracles were generated against it).
 CASE3 = """
 function mpc = case3
 mpc.version = '2';

@@ -309,14 +309,25 @@ class BlockTridiagKKT:
         bpos[b_ids] = np.arange(mB)
 
         as_j = jnp.asarray
-        self.selD, self.selL = as_j(selD), as_j(selL)
-        self.selB, self.selC = as_j(selB), as_j(selC)
-        self.D_idx = (as_j(blk_r[selD]), as_j(off_r[selD]),
-                      as_j(off_c[selD]))
-        self.L_idx = (as_j(blk_c[selL]), as_j(off_r[selL]),
-                      as_j(off_c[selL]))
-        self.B_idx = (as_j(pr[selB]), as_j(bpos[cc[selB]]))
-        self.C_idx = (as_j(bpos[rr[selC]]), as_j(bpos[cc[selC]]))
+
+        # scatter-add destinations are FLATTENED and SORTED at build time:
+        # a 1-D scatter with indices_are_sorted=True lowers to a far cheaper
+        # TPU kernel than the unsorted multi-dim scatter (VERDICT round-2
+        # item 3: assembly dominated the ir32 step).  Each target stores
+        # (take = COO value gather order, dest = sorted flat slot).
+        def _sorted_scatter(sel, dest):
+            order = np.argsort(dest, kind="stable")
+            return as_j(sel[order]), as_j(dest[order])
+
+        nTpad = nb * bs
+        self.D_take, self.D_dest = _sorted_scatter(
+            selD, blk_r[selD] * bs * bs + off_r[selD] * bs + off_c[selD])
+        self.L_take, self.L_dest = _sorted_scatter(
+            selL, blk_c[selL] * bs * bs + off_r[selL] * bs + off_c[selL])
+        self.B_take, self.B_dest = _sorted_scatter(
+            selB, pr[selB] * mB + bpos[cc[selB]])
+        self.C_take, self.C_dest = _sorted_scatter(
+            selC, bpos[rr[selC]] * mB + bpos[cc[selC]])
 
         # mesh-distributed factorization applies when the scenario-block
         # axis divides the mesh (block_diag mode; band stays single-device
@@ -331,10 +342,27 @@ class BlockTridiagKKT:
         self.t_slots = as_j(slot[t_ids])        # padded positions
         self.b_ids = as_j(b_ids)
         tslot = slot[t_ids]
-        self.diagD_idx = (as_j(tslot // bs), as_j(tslot % bs))
-        # unit diagonal on padding slots so Cholesky stays well-posed
+        # diagonal additions: sorted+unique flat scatter into D
+        dorder = np.argsort(tslot, kind="stable")
+        self.diag_take = as_j(t_ids[dorder])
+        self.diag_dest = as_j((tslot[dorder] // bs) * bs * bs
+                              + (tslot[dorder] % bs) * (bs + 1))
+        # rhs/solution permutations as pure GATHERS (no scatter at all):
+        # slot_src[s] = source variable of padded slot s (self-index for
+        # pads, masked to 0), out_perm[i] = position of variable i in
+        # concat([x_T.flat (nTpad), x_B (mB)])
         occupied = np.zeros(nTpad, bool)
         occupied[tslot] = True
+        slot_src = np.zeros(nTpad, np.int64)
+        slot_src[tslot] = t_ids
+        self.slot_src = as_j(slot_src)
+        self.slot_mask_np = occupied.astype(np.float64).reshape(nb, bs)
+        self.slot_mask = as_j(self.slot_mask_np)
+        out_perm = np.zeros(n, np.int64)
+        out_perm[t_ids] = tslot
+        out_perm[b_ids] = nTpad + np.arange(mB)
+        self.out_perm = as_j(out_perm)
+        # unit diagonal on padding slots so Cholesky stays well-posed
         pad = (~occupied).astype(np.float64).reshape(nb, bs)
         self.pad_eye = as_j(np.einsum("bi,ij->bij", pad, np.eye(bs)))
 
@@ -365,17 +393,27 @@ class BlockTridiagKKT:
         vals = m.kkt_vals(x, theta, lam, sigma, d, dtype=fdt)
         dt = vals.dtype
         nb, bs, mB = self.nb, self.bs, self.mB
-        D = jnp.zeros((nb, bs, bs), dt).at[self.D_idx].add(vals[self.selD])
-        L = jnp.zeros((max(nb - 1, 1), bs, bs), dt)
-        if nb > 1 and not self.block_diag:
-            L = L.at[self.L_idx].add(vals[self.selL])
-        B = jnp.zeros((self.nTpad, mB), dt).at[self.B_idx].add(
-            vals[self.selB])
-        C = jnp.zeros((mB, mB), dt).at[self.C_idx].add(vals[self.selC])
-        dT = diag_extra[self.t_ids].astype(dt)
-        D = D.at[self.diagD_idx[0], self.diagD_idx[1],
-                 self.diagD_idx[1]].add(dT)
-        D = D + self.pad_eye.astype(dt)
+
+        def scat(take, dest, shape):
+            # flat scatter-add with build-time-sorted destinations: lowers
+            # to the fast sorted-scatter TPU path instead of the general
+            # serialized one
+            flat = jnp.zeros(int(np.prod(shape)), dt)
+            flat = flat.at[dest].add(vals[take], indices_are_sorted=True)
+            return flat.reshape(shape)
+
+        L = (scat(self.L_take, self.L_dest, (max(nb - 1, 1), bs, bs))
+             if (nb > 1 and not self.block_diag)
+             else jnp.zeros((max(nb - 1, 1), bs, bs), dt))
+        B = scat(self.B_take, self.B_dest, (self.nTpad, mB))
+        C = scat(self.C_take, self.C_dest, (mB, mB))
+        Dflat = jnp.zeros(nb * bs * bs, dt)
+        Dflat = Dflat.at[self.D_dest].add(vals[self.D_take],
+                                          indices_are_sorted=True)
+        Dflat = Dflat.at[self.diag_dest].add(
+            diag_extra[self.diag_take].astype(dt),
+            indices_are_sorted=True, unique_indices=True)
+        D = Dflat.reshape(nb, bs, bs) + self.pad_eye.astype(dt)
         C = C + jnp.diag(diag_extra[self.b_ids].astype(dt)) if mB else C
         D = self._block_sharded(D)
         B = self._block_sharded(B.reshape(nb, bs, mB))
@@ -392,8 +430,9 @@ class BlockTridiagKKT:
         out_dt = v.dtype
         dt = D.dtype
         v = v.astype(dt)
-        vT = jnp.zeros(self.nTpad, dt).at[self.t_slots].set(
-            v[self.t_ids]).reshape(nb, bs)
+        # padded-slot layout via pure gather + pad mask (no scatter)
+        vT = (v[self.slot_src].reshape(nb, bs)
+              * self.slot_mask.astype(dt))
         out_T = jnp.einsum("bij,bj->bi", D, vT)
         if nb > 1 and not self.block_diag:
             low = jnp.einsum("bij,bj->bi", L, vT[:-1])
@@ -403,10 +442,9 @@ class BlockTridiagKKT:
             vB = v[self.b_ids]
             out_T = out_T + jnp.einsum("bij,j->bi", B, vB)
             out_B = jnp.einsum("bij,bi->j", B, vT) + C @ vB
-        out = jnp.zeros(self.n, dt)
-        out = out.at[self.t_ids].set(out_T.reshape(-1)[self.t_slots])
-        if mB:
-            out = out.at[self.b_ids].set(out_B)
+        else:
+            out_B = jnp.zeros(0, dt)
+        out = jnp.concatenate([out_T.reshape(-1), out_B])[self.out_perm]
         return out.astype(out_dt)
 
     # ------------------------------------------------------------------
@@ -480,8 +518,8 @@ class BlockTridiagKKT:
         nb, bs, mB = self.nb, self.bs, self.mB
         dt = rhs.dtype
         fdt = Z.dtype
-        rT = jnp.zeros(self.nTpad, dt).at[self.t_slots].set(
-            rhs[self.t_ids]).reshape(nb, bs)
+        rT = (rhs[self.slot_src].reshape(nb, bs)
+              * self.slot_mask.astype(dt))
         if sT is not None:
             rT = (rT * sT).astype(fdt)
         else:
@@ -499,18 +537,14 @@ class BlockTridiagKKT:
             x1 = u - jnp.einsum("bij,j->bi", Z, x2)
         else:
             x1 = u
-            x2 = jnp.zeros(0, dt)
+            x2 = jnp.zeros(0, fdt)
         x1 = x1.astype(dt)
         if sT is not None:
             x1 = x1 * sT
-        out = jnp.zeros(self.n, dt)
-        out = out.at[self.t_ids].set(x1.reshape(-1)[self.t_slots])
-        if mB:
-            x2 = x2.astype(dt)
-            if sB is not None:
-                x2 = x2 * sB
-            out = out.at[self.b_ids].set(x2)
-        return out
+        x2 = x2.astype(dt)
+        if mB and sB is not None:
+            x2 = x2 * sB
+        return jnp.concatenate([x1.reshape(-1), x2])[self.out_perm]
 
 
 def make_structured_kkt(model, fallback=True, **kwargs):

@@ -90,52 +90,62 @@ def test_ipm_with_native_ldl_matches_dense():
                                atol=1e-7)
 
 
-def test_mixed_precision_factorization_converges():
-    """factor_dtype="mixed": native-f32 factorization while mu is hot,
-    f64 endgame -- certifies first_order at tol=1e-8 with the same
-    objective as the all-f64 path (VERDICT round-1 item: the f32 path must
-    actually converge, not diverge at small mu)."""
+# -- mixed / low-precision factorization convergence ----------------------
+# factor_dtype="mixed": native-f32 factorization while mu is hot, f64
+# endgame -- must certify first_order at tol=1e-8 with the same objective
+# as the all-f64 path (VERDICT round-1 item: the f32 path must actually
+# converge, not diverge at small mu).  "float32": no mu threshold at all --
+# the f32 factorization runs until its f64 refinement stops contracting,
+# then DEMOTE_F32 hands the unchanged state to the f64 step set; without
+# that residual-driven handover this configuration stalled (round-1
+# README:119-122).  Split into one test per (problem, dtype) so the compile
+# inventories run in parallel under xdist.
+def _low_precision_case(build, fdtype, **approx_kw):
+    from infiniteexamodels_jl_tpu.solvers.ipm import IpmSolver as S
+
+    simd, _ = transcribe(build())
+    r64 = S(simd, print_level=0, linear_solver="auto", tol=1e-8).solve()
+    assert r64.status == "first_order"
+    s = S(simd, print_level=0, linear_solver="auto", tol=1e-8,
+          factor_dtype=fdtype)
+    assert s.kkt32 is not None
+    r = s.solve()
+    assert r.status == "first_order"
+    assert r.objective == pytest.approx(r64.objective, **approx_kw)
+
+
+def test_mixed_precision_quad():
+    from infiniteexamodels_jl_tpu.models import quad
+
+    _low_precision_case(lambda: quad(num_supports=50), "mixed", abs=1e-7)
+
+
+def test_mixed_precision_farmer():
+    _low_precision_case(lambda: farmer(num_scenarios=32), "mixed", rel=1e-9)
+
+
+def test_float32_demotion_quad():
+    from infiniteexamodels_jl_tpu.models import quad
+
+    _low_precision_case(lambda: quad(num_supports=50), "float32", abs=1e-7)
+
+
+def test_float32_demotion_farmer():
+    _low_precision_case(lambda: farmer(num_scenarios=32), "float32",
+                        rel=1e-9)
+
+
+# "ir32": f32 assembly + f32 factorization, refined MATRIX-FREE against the
+# exact f64 operator (hvp_lag + COO jprod/jtprod -- classical
+# factor-low/refine-high IR without materializing an f64 K) -- f64-quality
+# steps, so it must certify at tol=1e-8 without ever demoting on these
+# well-conditioned problems.
+def test_ir32_quad():
     from infiniteexamodels_jl_tpu.models import quad
     from infiniteexamodels_jl_tpu.solvers.ipm import IpmSolver as S
 
-    m = quad(num_supports=50)
-    simd, _ = transcribe(m)
+    simd, _ = transcribe(quad(num_supports=50))
     r64 = S(simd, print_level=0, linear_solver="auto", tol=1e-8).solve()
-    assert r64.status == "first_order"
-    s32 = S(simd, print_level=0, linear_solver="auto", tol=1e-8,
-            factor_dtype="mixed")
-    assert s32.kkt32 is not None
-    r32 = s32.solve()
-    assert r32.status == "first_order"
-    assert r32.objective == pytest.approx(r64.objective, abs=1e-7)
-
-    m2 = farmer(num_scenarios=32)
-    simd2, _ = transcribe(m2)
-    r64b = S(simd2, print_level=0, linear_solver="auto", tol=1e-8).solve()
-    r32b = S(simd2, print_level=0, linear_solver="auto", tol=1e-8,
-             factor_dtype="mixed").solve()
-    assert r32b.status == "first_order"
-    assert r32b.objective == pytest.approx(r64b.objective, rel=1e-9)
-
-    # "float32": no mu threshold at all -- the f32 factorization runs until
-    # its f64 refinement stops contracting, then DEMOTE_F32 hands the
-    # unchanged state to the f64 step set.  Without that residual-driven
-    # handover this configuration stalled (round-1 README:119-122); it must
-    # now certify first_order at tol=1e-8 on both problem shapes.
-    rf = S(simd, print_level=0, linear_solver="auto", tol=1e-8,
-           factor_dtype="float32").solve()
-    assert rf.status == "first_order"
-    assert rf.objective == pytest.approx(r64.objective, abs=1e-7)
-    rfb = S(simd2, print_level=0, linear_solver="auto", tol=1e-8,
-            factor_dtype="float32").solve()
-    assert rfb.status == "first_order"
-    assert rfb.objective == pytest.approx(r64b.objective, rel=1e-9)
-
-    # "ir32": f32 assembly + f32 factorization, refined MATRIX-FREE
-    # against the exact f64 operator (hvp_lag + COO jprod/jtprod --
-    # classical factor-low/refine-high IR without materializing an f64 K)
-    # -- f64-quality steps, so it must certify at tol=1e-8 without ever
-    # demoting on these well-conditioned problems.
     si = S(simd, print_level=0, linear_solver="auto", tol=1e-8,
            factor_dtype="ir32")
     assert si.kkt32 is not None
@@ -143,6 +153,13 @@ def test_mixed_precision_factorization_converges():
     ri = si.solve()
     assert ri.status == "first_order"
     assert ri.objective == pytest.approx(r64.objective, abs=1e-7)
+
+
+def test_ir32_farmer():
+    from infiniteexamodels_jl_tpu.solvers.ipm import IpmSolver as S
+
+    simd2, _ = transcribe(farmer(num_scenarios=32))
+    r64b = S(simd2, print_level=0, linear_solver="auto", tol=1e-8).solve()
     rib = S(simd2, print_level=0, linear_solver="auto", tol=1e-8,
             factor_dtype="ir32").solve()
     assert rib.status == "first_order"

@@ -18,7 +18,8 @@ import pytest
 from infiniteexamodels_jl_tpu.backend import ExaTranscriptionBackend
 from infiniteexamodels_jl_tpu.solvers import IpmSolver
 from infiniteexamodels_jl_tpu.models import (
-    hovercraft, quad, pandemic, kinetic_control, farmer, design_3node, opf)
+    hovercraft, quad, pandemic, kinetic_control, farmer, design_3node, opf,
+    opf_static)
 from infiniteexamodels_jl_tpu.modeling import deriv
 
 
@@ -36,7 +37,10 @@ ORACLES = {
     "kinetics30": 0.6202259539451183,
     "farmer300": -89332.38357572953,
     "design3node200": 0.9999909736891066,
-    "opf10": 4135.325580764153,
+    # real pglib case3_lmbd (round-3): generated with ldl_cpp at tol=1e-9
+    # (pr=3.9e-10, du=3.7e-13), reproduced by the structured path to 6e-11
+    # relative
+    "opf10": 5744.482274475477,
     "pandemic51x4": 29.137955008938995,
 }
 
@@ -144,6 +148,58 @@ def test_farmer():
     assert all(x >= -1e-8 for x in xs)
 
 
+def test_farmer_scipy_anchor():
+    """EXTERNAL anchor (VERDICT round-2 item 8): the farmer two-stage LP is
+    rebuilt here directly from its published formulation (Birge & Louveaux;
+    reference examples/2stage_example.jl) as plain scipy arrays -- no
+    transcription, no SIMD AD, no IPM -- and solved with
+    scipy.optimize.linprog (HiGHS, simplex-based, an entirely independent
+    code path).  Only the sampled scenario values are shared input data."""
+    from scipy.optimize import linprog
+
+    n_s = 300
+    m = attach(farmer(num_scenarios=n_s))
+    res = m.optimize()
+    assert res.status == "first_order"
+
+    xi = np.asarray(m.groups[0].supports())             # (n_s, 3) yields
+    assert xi.shape == (n_s, 3)
+    alpha = [150.0, 230.0, 260.0]
+    beta = [238.0, 210.0, 0.0]
+    lam = [170.0, 150.0, 36.0]
+    d = [200.0, 240.0, 0.0]
+    # variables: x[3], then per scenario (y[3], w[3])
+    nv = 3 + 6 * n_s
+    c = np.zeros(nv)
+    c[:3] = alpha
+    for s in range(n_s):
+        o = 3 + 6 * s
+        c[o:o + 3] = np.array(beta) / n_s
+        c[o + 3:o + 6] = -np.array(lam) / n_s
+    A_ub, b_ub = [], []
+    row = np.zeros(nv)
+    row[:3] = 1.0
+    A_ub.append(row)
+    b_ub.append(500.0)
+    for s in range(n_s):
+        o = 3 + 6 * s
+        for cc in range(3):
+            row = np.zeros(nv)
+            row[cc] = -xi[s, cc]          # -(xi*x + y - w) <= -d
+            row[o + cc] = -1.0
+            row[o + 3 + cc] = 1.0
+            A_ub.append(row)
+            b_ub.append(-d[cc])
+    bounds = [(0, 500.0)] * 3
+    for s in range(n_s):
+        bounds += [(0, None), (0, None), (0, 0.0),
+                   (0, None), (0, None), (0, 6000.0)]
+    lp = linprog(c, A_ub=np.array(A_ub), b_ub=np.array(b_ub),
+                 bounds=bounds, method="highs")
+    assert lp.status == 0
+    assert m.objective_value() == pytest.approx(lp.fun, rel=1e-8)
+
+
 def test_design_3node():
     m = attach(design_3node(num_scenarios=200))
     res = m.optimize()
@@ -157,3 +213,18 @@ def test_opf_stochastic():
     res = m.optimize()
     assert res.status == "first_order"
     assert m.objective_value() == pytest.approx(ORACLES["opf10"], rel=1e-6)
+
+
+def test_opf_static_pglib_anchor():
+    """EXTERNAL anchor (VERDICT round-2 item 8): the checked-in
+    pglib_opf_case3_lmbd data solved as a standard single-period AC-OPF
+    must reproduce the published pglib-opf base-case objective 5812.64 $/h
+    -- a value computed by Ipopt in the public pglib benchmark tables,
+    entirely outside this repo.  Guards the MATPOWER parser, the AC power
+    flow formulation, and the IPM against a shared transcription bug
+    (self-generated oracles cannot)."""
+    m = attach(opf_static())
+    res = m.optimize()
+    assert res.status == "first_order"
+    # published value is quoted to 2 decimals (5812.64)
+    assert m.objective_value() == pytest.approx(5812.64, abs=0.01)
