@@ -177,7 +177,8 @@ class BlockTridiagKKT:
     assemble_dtype = None
 
     def __init__(self, model, max_block=512, min_blocks=4, max_border=4096,
-                 factor_dtype=None, mesh=None, mesh_axis="sp"):
+                 factor_dtype=None, mesh=None, mesh_axis="sp",
+                 nb_round=None):
         self.factor_dtype = factor_dtype
         self.model = model
         # device-mesh distribution of the block-diagonal (scenario) factor:
@@ -275,6 +276,10 @@ class BlockTridiagKKT:
                 pos, bw = pos_rcm, bw_rcm
             bs = _round_up(max(bw, 1) + 1, 8)
             nb = max((nT + bs - 1) // bs, 1)
+            if nb_round is not None:
+                # round the block count up for mesh segmentation (band
+                # partitioning); extra blocks are pure identity padding
+                nb = max(int(nb_round(nb)), nb)
             slot[t_ids] = pos[t_ids]
             self.mode = "band"
 
@@ -557,6 +562,13 @@ def make_structured_kkt(model, fallback=True, **kwargs):
         if mesh is not None and mesh.devices.size > 1:
             from .scenario_shard import ShardedScenarioKKT
             kkt = ShardedScenarioKKT(model, **kwargs)
+            if kkt.usable and not kkt.aligned and kkt.mode == "band":
+                # time-structured problem on a mesh: segment the band
+                from .band_shard import ShardedBandKKT
+
+                band = ShardedBandKKT(model, **kwargs)
+                if band.usable:
+                    kkt = band
         else:
             kkt = BlockTridiagKKT(model, **kwargs)
         if kkt.usable:

@@ -208,3 +208,117 @@ def test_aligned_kkt_communication_is_border_only():
             dims = [int(x) for x in s.split(",") if x] or [1]
             el = int(np.prod(dims))
             assert el <= cap, f"oversized collective ({el} elems): {ln[:120]}"
+
+
+def test_band_shard_communication_is_halo_sized():
+    """Scaling evidence for the band-segment backend: the compiled
+    assemble+factor+solve step's collectives are halo/tail-sized --
+    permutes are O(bs^2), all-gathers are the O(nd*bs^2) BCR tail, and no
+    all-reduce exceeds the O(n) solution replication.  An O(nnz)
+    collective appearing here would mean assembly communicates again."""
+    import re
+    from infiniteexamodels_jl_tpu.models import quad
+    from infiniteexamodels_jl_tpu.solvers.band_shard import ShardedBandKKT
+
+    m = quad(num_supports=50)
+    model, _ = transcribe(m, row_pad=8)
+    mesh = make_mesh(8)
+    shard_model(model, mesh)
+    kkt = ShardedBandKKT(model, mesh=mesh)
+    assert kkt.aligned
+
+    n, mm = model.nvar, model.ncon
+    lam = jnp.zeros(mm)
+    d = jnp.ones(mm)
+    de = jnp.ones(n)
+    rhs = jnp.ones(n)
+
+    def step(x, th):
+        K = kkt.assemble(x, th, lam, 1.0, d, de)
+        fac, _ = kkt.factor(K)
+        return kkt.solve(fac, rhs)
+
+    hlo = jax.jit(step).lower(model.x0, model.theta).compile().as_text()
+    bs, nd = kkt.bs, kkt.nd
+    # per-collective element caps: permute = halo (D+E+B blocks), gather =
+    # BCR tail, reduce = replicated solution / border corner
+    caps = {"collective-permute": 3 * bs * bs + bs * max(kkt.mB, 1) + 64,
+            "all-gather": nd * bs * bs + 64,
+            "all-reduce": max(n, kkt.mB * kkt.mB) + 64}
+    assert not re.search(r"all-to-all\(", hlo)
+    for ln in hlo.splitlines():
+        for op, cap in caps.items():
+            if f"{op}(" not in ln:
+                continue
+            for s in re.findall(r"f(?:32|64)\[([\d,]*)\]",
+                                ln.split("(")[0]):
+                dims = [int(x) for x in s.split(",") if x] or [1]
+                el = int(np.prod(dims))
+                assert el <= cap, \
+                    f"oversized {op} ({el} elems): {ln[:120]}"
+
+
+def test_band_shard_kkt_matches_replicated():
+    """The time-segment band KKT (ShardedBandKKT: distributed BCR with
+    per-level halo ppermutes + all-gathered cross-device tail + halo'd
+    assembly) reproduces the single-device band backend's assemble/factor/
+    solve/matvec (VERDICT round-2 item 6: time-block partitioning so
+    quadrotor-class OCPs use multiple chips)."""
+    from infiniteexamodels_jl_tpu.models import quad
+    from infiniteexamodels_jl_tpu.solvers.block_tridiag import (
+        BlockTridiagKKT)
+    from infiniteexamodels_jl_tpu.solvers.band_shard import ShardedBandKKT
+
+    m = quad(num_supports=50)
+    model, _ = transcribe(m, row_pad=8)
+    mesh = make_mesh(8)
+    shard_model(model, mesh)
+    al = ShardedBandKKT(model, mesh=mesh)
+    assert al.usable and al.aligned and al.mode == "band"
+    # reference on the SAME padded block grid
+    ref = BlockTridiagKKT(model, mesh=None, nb_round=lambda _: al.nb)
+    assert ref.nb == al.nb and ref.bs == al.bs
+
+    rng = np.random.default_rng(7)
+    n, mm = model.nvar, model.ncon
+    x = jnp.asarray(model.x0) + 0.01
+    lam = jnp.asarray(rng.standard_normal(mm) * 0.1)
+    d = jnp.asarray(np.abs(rng.standard_normal(mm)) * 0.1)
+    de = jnp.asarray(np.abs(rng.standard_normal(n)) + 5.0)
+    rhs = jnp.asarray(rng.standard_normal(n))
+    th = model.theta
+
+    K0 = jax.jit(lambda: ref.assemble(x, th, lam, 1.0, d, de))()
+    f0, ok0 = jax.jit(ref.factor)(K0)
+    K1 = jax.jit(lambda: al.assemble(x, th, lam, 1.0, d, de))()
+    f1, ok1 = jax.jit(al.factor)(K1)
+    assert bool(ok0) and bool(ok1)
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(al.matvec)(K1, rhs)),
+        np.asarray(jax.jit(ref.matvec)(K0, rhs)), rtol=1e-12, atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(al.solve)(f1, rhs)),
+        np.asarray(jax.jit(ref.solve)(f0, rhs)), rtol=1e-8, atol=1e-9)
+
+
+def test_band_shard_ipm_solve_matches():
+    """Full IPM solve through the band-segment KKT on the 8-device mesh
+    matches the single-device objective (quadrotor, tol 1e-8)."""
+    from infiniteexamodels_jl_tpu.models import quad
+    from infiniteexamodels_jl_tpu.solvers.ipm import IpmSolver as S
+    from infiniteexamodels_jl_tpu.solvers.band_shard import ShardedBandKKT
+
+    m = quad(num_supports=50)
+    model, _ = transcribe(m)
+    r_ref = S(model, print_level=0, linear_solver="auto", tol=1e-8).solve()
+    assert r_ref.status == "first_order"
+
+    m2 = quad(num_supports=50)
+    model2, _ = transcribe(m2, row_pad=8)
+    mesh = make_mesh(8)
+    shard_model(model2, mesh)
+    kkt = ShardedBandKKT(model2, mesh=mesh)
+    assert kkt.aligned
+    r = S(model2, kkt=kkt, print_level=0, tol=1e-8).solve()
+    assert r.status == "first_order"
+    assert r.objective == pytest.approx(r_ref.objective, rel=1e-9)
