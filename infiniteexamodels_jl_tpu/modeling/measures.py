@@ -34,15 +34,36 @@ def _group_of(pref_or_vec):
     raise TypeError(f"expected infinite parameter(s), got {pref_or_vec!r}")
 
 
-def _measure(kind, expr, pref, weight_fn=None):
+def _measure(kind, expr, pref, weight_fn=None, method="trapezoid",
+             num_nodes=None):
     expr = as_expr(expr)
     group = _group_of(pref)
     model = group.model
     model._mark_dirty()
-    return MeasureRef(model, expr, group, kind, weight_fn)
+    return MeasureRef(model, expr, group, kind, weight_fn, method=method,
+                      num_nodes=num_nodes)
 
 
-def integral(expr, pref, weight_fn=None):
+def integral(expr, pref, weight_fn=None, method="trapezoid", num_nodes=None):
+    """Integral measure over a scalar interval parameter.
+
+    ``method="trapezoid"`` (default, InfiniteOpt's UniTrapezoid role)
+    weights the group's PUBLIC supports; ``method="gauss_legendre"``
+    instead adds ``num_nodes`` (default 20) Gauss-Legendre quadrature
+    points over the interval as INTERNAL supports (the reference measure
+    generality, InfiniteOpt eval-method quadratures; weights from the
+    measure data feed the SIMD sum exactly like transform.jl:618-633) --
+    exact for polynomial integrands up to degree 2*num_nodes-1 and
+    excluded from public value queries."""
+    if method == "gauss_legendre":
+        group = _group_of(pref)
+        k = int(num_nodes or 20)
+        group.quadrature_nodes.add(k)
+        group._generative_done = False
+        return _measure("integral", expr, pref, weight_fn,
+                        method=method, num_nodes=k)
+    if method != "trapezoid":
+        raise ValueError(f"unknown integral method {method!r}")
     return _measure("integral", expr, pref, weight_fn)
 
 
@@ -60,6 +81,26 @@ def measure_coefficients(mref):
     transform.jl:618-633).  Only public supports participate; internal
     collocation nodes are excluded."""
     g = mref.group
+    if mref.kind == "integral" and mref.method == "gauss_legendre":
+        # quadrature nodes were added as internal supports at build time;
+        # locate them in the support vector by value
+        nodes, w = g.gauss_legendre_points(mref.num_nodes)
+        allsup = g.supports()
+        idxs = np.searchsorted(allsup, nodes)
+        idxs = np.clip(idxs, 0, len(allsup) - 1)
+        # searchsorted may land one slot right of the stored duplicate
+        left_ok = (idxs > 0) & (np.abs(allsup[np.maximum(idxs - 1, 0)]
+                                       - nodes) < 1e-9)
+        idxs = np.where(np.abs(allsup[idxs] - nodes) < 1e-9, idxs,
+                        np.where(left_ok, idxs - 1, idxs))
+        if np.any(np.abs(allsup[idxs] - nodes) > 1e-9):
+            raise ValueError("Gauss-Legendre nodes missing from supports; "
+                             "was the model re-built after adding them?")
+        coeffs = w
+        if mref.weight_fn is not None:
+            coeffs = coeffs * np.asarray(
+                [mref.weight_fn(s) for s in nodes])
+        return idxs, coeffs
     mask = g.public_mask()
     idxs = np.nonzero(mask)[0]
     supps = g.supports()[mask]

@@ -20,8 +20,9 @@ UNIFORM_GRID = "UniformGrid"
 MC_SAMPLE = "MCSample"
 USER_DEFINED = "UserDefined"
 INTERNAL_COLLOCATION = "InternalCollocation"
+INTERNAL_QUADRATURE = "InternalQuadrature"
 
-INTERNAL_LABELS = {INTERNAL_COLLOCATION}
+INTERNAL_LABELS = {INTERNAL_COLLOCATION, INTERNAL_QUADRATURE}
 
 
 class All:
@@ -65,6 +66,9 @@ class ParameterGroup:
         self._labels = []             # list[set[str]] aligned with supports
         self.has_internal = False
         self._generative_done = False
+        # Gauss-Legendre node counts requested by integral(...) measures;
+        # materialized as internal supports by ensure_generative_supports
+        self.quadrature_nodes = set()
 
     @property
     def dim(self):
@@ -131,7 +135,8 @@ class ParameterGroup:
 
     def ensure_generative_supports(self):
         """Add the derivative method's internal nodes (the reference's
-        add_generative_supports, transform.jl:22).  Idempotent per build."""
+        add_generative_supports, transform.jl:22) plus any requested
+        Gauss-Legendre quadrature nodes.  Idempotent per build."""
         if not self.scalar or self._generative_done:
             return
         method = self.derivative_method
@@ -139,7 +144,20 @@ class ParameterGroup:
             public = self.public_supports()
             nodes = method.internal_nodes(public)
             self.add_supports(nodes, INTERNAL_COLLOCATION)
+        for k in sorted(self.quadrature_nodes):
+            self.add_supports(self.gauss_legendre_points(k)[0],
+                              INTERNAL_QUADRATURE)
         self._generative_done = True
+
+    def gauss_legendre_points(self, num_nodes):
+        """(nodes, weights) of the num_nodes-point Gauss-Legendre rule
+        mapped onto this scalar group's interval domain."""
+        if self.domain is None:
+            raise ValueError(
+                "Gauss-Legendre quadrature requires an interval domain")
+        a, b = self.domain.lo, self.domain.hi
+        x, w = np.polynomial.legendre.leggauss(int(num_nodes))
+        return (a + (x + 1.0) * (b - a) / 2.0), w * (b - a) / 2.0
 
     def supports(self):
         if self._supports is None:
@@ -394,14 +412,18 @@ class MeasureRef(VarBase):
     """A measure (integral / expectation / support sum) over one parameter
     group (reference measure API observed at transform.jl:617-703)."""
 
-    __slots__ = ("model", "expr", "group", "kind", "weight_fn")
+    __slots__ = ("model", "expr", "group", "kind", "weight_fn", "method",
+                 "num_nodes")
 
-    def __init__(self, model, expr, group, kind, weight_fn=None):
+    def __init__(self, model, expr, group, kind, weight_fn=None,
+                 method="trapezoid", num_nodes=None):
         self.model = model
         self.expr = expr
         self.group = group
         self.kind = kind              # "integral" | "expect" | "support_sum"
         self.weight_fn = weight_fn
+        self.method = method          # "trapezoid" | "gauss_legendre"
+        self.num_nodes = num_nodes
 
     @property
     def groups(self):

@@ -143,6 +143,9 @@ DEFAULTS = dict(
     kappa_epsilon=10.0,
     kappa_mu=0.2,
     theta_mu=1.5,
+    barrier="monotone",     # "monotone" (MadNLP MonotoneUpdate role) or
+                            # "adaptive" (LOQO centrality-clipped schedule;
+                            # reference test/madnlp.jl:32-34 barrier option)
     tau_min=0.99,
     gamma_theta=1e-5,
     gamma_phi=1e-5,
@@ -712,6 +715,33 @@ class IpmSolver:
                                           ACCEPTABLE, RUNNING))))
 
         # -- barrier update (may fire repeatedly) -------------------------
+        # adaptive mode ("barrier" option, the MadNLP AdaptiveUpdate /
+        # Ipopt adaptive-mu role, reference test/madnlp.jl:32-34 barrier
+        # strategies): when the monotone trigger fires, the next mu is the
+        # LOQO centrality rule sigma = 0.1*min(0.05*(1-xi)/xi, 2)^3 applied
+        # to the average complementarity (Vanderbei/LOQO; Ipopt
+        # mu_oracle="loqo"), CLIPPED into [monotone schedule, 0.8*mu] so a
+        # badly-centered iterate slows the barrier descent instead of
+        # overshooting it -- mu still decreases strictly, so the
+        # Waechter-Biegler filter globalization is untouched.
+        if o["barrier"] == "adaptive":
+            z0 = jnp.concatenate([st.x, st.s])
+            dl0 = jnp.where(has_l, z0 - lz, 1.0)
+            du0 = jnp.where(has_u, uz - z0, 1.0)
+            cp = jnp.concatenate([
+                jnp.where(has_l, dl0 * st.zl, 0.0),
+                jnp.where(has_u, du0 * st.zu, 0.0)])
+            cmask = jnp.concatenate([has_l, has_u])
+            ncomp = jnp.maximum(jnp.sum(cmask), 1)
+            avg_c = jnp.sum(jnp.where(cmask, cp, 0.0)) / ncomp
+            min_c = jnp.min(jnp.where(cmask, cp, jnp.inf))
+            xi = min_c / jnp.maximum(avg_c, jnp.finfo(dt).tiny)
+            sig_c = 0.1 * jnp.minimum(
+                0.05 * (1.0 - xi) / jnp.maximum(xi, 1e-12), 2.0) ** 3
+            mu_loqo = sig_c * avg_c
+        else:
+            mu_loqo = None
+
         def mu_cond(val):
             mu, tau, flen, ftheta, fphi = val
             E_mu = self._kkt_error(st, consts, grad, jvals, cval, mu)[0]
@@ -723,6 +753,8 @@ class IpmSolver:
             mu_new = jnp.maximum(
                 tol * o["mu_min_fraction"],
                 jnp.minimum(o["kappa_mu"] * mu, mu ** o["theta_mu"]))
+            if mu_loqo is not None:
+                mu_new = jnp.clip(mu_loqo, mu_new, 0.8 * mu)
             tau_new = jnp.maximum(o["tau_min"], 1.0 - mu_new)
             # reset filter to the theta_max entry only
             ftheta_new = jnp.full_like(ftheta, jnp.inf).at[0].set(ftheta[0])

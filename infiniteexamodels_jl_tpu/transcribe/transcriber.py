@@ -85,6 +85,14 @@ class _Transcriber:
     def build_base_iterators(self):
         d = self.data
         for g in self.model.groups:
+            if g.quadrature_nodes and any(
+                    dv.pref.group is g
+                    for dv in self.model.all_derivatives()):
+                warnings.warn(
+                    "Gauss-Legendre quadrature adds supports that do not "
+                    "align with the derivative grid of this parameter; "
+                    "convergence may suffer (use the default trapezoid "
+                    "integral for problems with derivatives).")
             g.ensure_generative_supports()
             alias = f"g{g.gid}"
             d.group_alias.append(alias)

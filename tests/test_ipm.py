@@ -265,3 +265,19 @@ def test_profiler_trace_dir(tmp_path):
              for f in fs]
     assert any(f.endswith((".pb", ".json.gz", ".trace.json.gz"))
                for f in found), found
+
+
+def test_adaptive_barrier():
+    """barrier="adaptive" (LOQO centrality-clipped mu, the reference's
+    MadNLP barrier-strategy option, test/madnlp.jl:32-34) converges to the
+    same hs071 optimum as the monotone default."""
+    core = Core()
+    x = core.add_var((4,), lvar=1.0, uvar=5.0,
+                     start=np.array([1.0, 5.0, 5.0, 1.0]), name="x")
+    core.add_obj(x[0] * x[3] * (x[0] + x[1] + x[2]) + x[2])
+    core.add_con(x[0] * x[1] * x[2] * x[3], lcon=25.0, ucon=np.inf)
+    core.add_con(abs2(x[0]) + abs2(x[1]) + abs2(x[2]) + abs2(x[3]),
+                 lcon=40.0, ucon=40.0)
+    res, m = solve(core, barrier="adaptive")
+    assert res.status == "first_order"
+    assert res.objective == pytest.approx(17.0140173, abs=1e-5)

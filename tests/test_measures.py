@@ -87,3 +87,39 @@ def test_variables_helper():
     for i, v in enumerate(xs):
         var = data.lookup(v)
         assert np.all(simd.core.lvar[var.offset:var.offset + 3] == float(i))
+
+
+def test_gauss_legendre_integral_exactness():
+    """integral(..., method="gauss_legendre", num_nodes=k) adds k internal
+    quadrature supports and is exact for polynomials of degree 2k-1 --
+    where the same grid's trapezoid rule is visibly inexact (reference
+    measure-data generality: quadrature coefficients drive the SIMD sum,
+    transform.jl:618-633)."""
+    m = InfiniteModel()
+    t = m.infinite_parameter("t", domain=(0, 1), num_supports=5)
+    y = m.variable("y", deps=(t,), start=lambda tv: tv**6)
+    m.minimize(integral(y, t, method="gauss_legendre", num_nodes=4))
+    # start values evaluate y = t^6 at EVERY support incl. the quadrature
+    # nodes; the 4-point GL rule integrates degree-7 exactly: 1/7
+    assert eval_objective(m) == pytest.approx(1.0 / 7.0, abs=1e-12)
+    # the quadrature nodes are internal: public queries don't see them
+    g = t.group
+    assert g.num_supports() == 5 + 4
+    assert g.public_mask().sum() == 5
+
+    # same integrand through trapezoid on 5 supports: error ~1e-2
+    m2 = InfiniteModel()
+    t2 = m2.infinite_parameter("t", domain=(0, 1), num_supports=5)
+    y2 = m2.variable("y", deps=(t2,), start=lambda tv: tv**6)
+    m2.minimize(integral(y2, t2))
+    assert abs(eval_objective(m2) - 1.0 / 7.0) > 1e-3
+
+
+def test_gauss_legendre_weight_fn():
+    m = InfiniteModel()
+    t = m.infinite_parameter("t", domain=(0, 1), num_supports=3)
+    y = m.variable("y", deps=(t,), start=1.0)
+    # integral of w(t)*1 with w = 3 t^2 -> exactly 1
+    m.minimize(integral(y, t, weight_fn=lambda tv: 3 * tv**2,
+                        method="gauss_legendre", num_nodes=6))
+    assert eval_objective(m) == pytest.approx(1.0, abs=1e-12)
