@@ -51,6 +51,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .block_tridiag import (BlockTridiagKKT, _bcr_factor, _bcr_solve,
                             _chol_linv, _apply_inv)
+from .scenario_shard import TLayoutOps
 
 
 class _NotBandShardable(Exception):
@@ -65,7 +66,7 @@ def _pow2_segments(nd):
     return rnd
 
 
-class ShardedBandKKT(BlockTridiagKKT):
+class ShardedBandKKT(TLayoutOps, BlockTridiagKKT):
     """Band-mode condensed KKT with per-device time segments.
 
     Falls back to the parent's single-device behavior when the layout does
@@ -94,6 +95,7 @@ class ShardedBandKKT(BlockTridiagKKT):
         except _NotBandShardable:
             return
         self.aligned = True
+        self.tlayout = True
 
     # ------------------------------------------------------------------
     def _build_aligned(self, model, nd):
@@ -258,6 +260,8 @@ class ShardedBandKKT(BlockTridiagKKT):
             src[d_, loc] = t_ids[sel]
             smask[d_, loc] = 1.0
         self._rT_src = (shx(src), shx(smask))
+        self._src_full_np = src          # replicated copies for tl_scatter
+        self._smask_full_np = smask
         self._b_ids_np = b_ids
 
     # ------------------------------------------------------------------
@@ -487,38 +491,33 @@ class ShardedBandKKT(BlockTridiagKKT):
         return (levels, tails, troot, Z, Ls, sT, sB), ok
 
     # ------------------------------------------------------------------
-    def solve(self, fac, rhs):
-        if not self.aligned:
-            return super().solve(fac, rhs)
+    def solve_tl(self, fac, r):
+        """Solve in T-layout: collectives are the BCR halos (O(bs) per
+        level), the O(nd*bs) tail gather and one O(mB) border psum --
+        nothing O(n)."""
         ax = self.mesh_axis
         nb_loc, bs, mB = self.nb_loc, self.bs, self.mB
-        n = self.n
-        b_ids = self._b_ids_np
 
-        def local(levels, tails, troot, Z, Ls, sT, sB, rhs, src, smask):
-            dt = rhs.dtype
+        def local(levels, tails, troot, Z, Ls, sT, sB, rT2, rB):
+            dt = rT2.dtype
             fdt = Z.dtype
             didx = jax.lax.axis_index(ax)
-            rT = (rhs[src[0]] * smask[0]).reshape(nb_loc, bs)
+            rT = rT2[0].reshape(nb_loc, bs)
             rT = (rT * sT).astype(fdt)
             u = self._dist_bcr_solve(levels, tails, troot, rT, ax, didx)
             if mB:
-                rB = (rhs[b_ids] * sB).astype(fdt)
-                rhs2 = rB - jax.lax.psum(
+                rBs = (rB * sB).astype(fdt)
+                rhs2 = rBs - jax.lax.psum(
                     jnp.einsum("kij,ki->j", Z, rT), ax)
                 z2 = jsl.solve_triangular(Ls, rhs2, lower=True)
                 x2 = jsl.solve_triangular(Ls.T, z2, lower=False)
                 x1 = u - jnp.einsum("kij,j->ki", Z, x2)
+                xB = x2.astype(dt) * sB
             else:
                 x1 = u
-                x2 = jnp.zeros(0, fdt)
+                xB = jnp.zeros(0, dt)
             x1 = x1.astype(dt) * sT
-            out = jnp.zeros(n, dt).at[src[0]].add(
-                x1.reshape(-1) * smask[0])
-            out = jax.lax.psum(out, ax)
-            if mB:
-                out = out.at[b_ids].set(x2.astype(dt) * sB)
-            return out
+            return x1.reshape(1, -1), xB
 
         sp, rep = self._sp(), P()
         levels, tails = fac[0], fac[1]
@@ -526,28 +525,26 @@ class ShardedBandKKT(BlockTridiagKKT):
         tail_spec = tuple((rep, rep, rep) for _ in tails)
         fn = self._smap(
             local,
-            in_specs=(lev_spec, tail_spec, rep, sp, rep, sp, rep, rep,
-                      sp, sp),
-            out_specs=rep)
-        return fn(*fac, rhs, *self._rT_src)
+            in_specs=(lev_spec, tail_spec, rep, sp, rep, sp, rep, sp, rep),
+            out_specs=(sp, rep))
+        return fn(*fac, *r)
+
+    def solve(self, fac, rhs):
+        if not self.aligned:
+            return super().solve(fac, rhs)
+        return self.tl_scatter(self.solve_tl(fac, self.tl_gather(rhs)))
 
     # ------------------------------------------------------------------
-    def matvec(self, K, v):
-        if not self.aligned:
-            return super().matvec(K, v)
+    def matvec_tl(self, K, v):
+        """K @ v in T-layout: two O(bs) halo ppermutes + one O(mB) psum."""
         ax = self.mesh_axis
-        nd, nb_loc, bs, mB = self.nd, self.nb_loc, self.bs, self.mB
-        n = self.n
-        b_ids = self._b_ids_np
+        nb_loc, bs, mB = self.nb_loc, self.bs, self.mB
 
-        def local(D, E, B, C, v, src, smask):
-            out_dt = v.dtype
+        def local(D, E, B, C, vT2, vB):
+            out_dt = vT2.dtype
             dt = D.dtype
-            v = v.astype(dt)
-            smask_ = smask.astype(dt)
-            vT = (v[src[0]] * smask_[0]).reshape(nb_loc, bs)
-            # left neighbor's last-block values (v replicated: pure gather
-            # + one bs-sized ppermute)
+            vT = vT2[0].reshape(nb_loc, bs).astype(dt)
+            # left neighbor's last-block values (one bs-sized ppermute)
             v_left = jax.lax.ppermute(vT[nb_loc - 1], ax, self._right())
             oT = jnp.einsum("bij,bj->bi", D, vT)
             vprev = jnp.concatenate([v_left[None], vT[:-1]])
@@ -559,18 +556,20 @@ class ShardedBandKKT(BlockTridiagKKT):
             halo_back = jax.lax.ppermute(up[0], ax, self._left())
             oT = oT.at[nb_loc - 1].add(halo_back)
             if mB:
-                vB = v[b_ids]
-                oT = oT + jnp.einsum("bij,j->bi", B, vB)
-                oB = jax.lax.psum(
-                    jnp.einsum("bij,bi->j", B, vT), ax) + C @ vB
-            out = jnp.zeros(n, dt).at[src[0]].add(
-                oT.reshape(-1) * smask_[0])
-            out = jax.lax.psum(out, ax)
-            if mB:
-                out = out.at[b_ids].set(oB)
-            return out.astype(out_dt)
+                vBd = vB.astype(dt)
+                oT = oT + jnp.einsum("bij,j->bi", B, vBd)
+                oB = (jax.lax.psum(jnp.einsum("bij,bi->j", B, vT), ax)
+                      + C @ vBd)
+            else:
+                oB = jnp.zeros(0, dt)
+            return oT.reshape(1, -1).astype(out_dt), oB.astype(out_dt)
 
         sp, rep = self._sp(), P()
-        fn = self._smap(local, in_specs=(sp, sp, sp, rep, rep, sp, sp),
-                        out_specs=rep)
-        return fn(*K, v, *self._rT_src)
+        fn = self._smap(local, in_specs=(sp, sp, sp, rep, sp, rep),
+                        out_specs=(sp, rep))
+        return fn(*K, *v)
+
+    def matvec(self, K, v):
+        if not self.aligned:
+            return super().matvec(K, v)
+        return self.tl_scatter(self.matvec_tl(K, self.tl_gather(v)))

@@ -861,7 +861,22 @@ class IpmSolver:
 
             rhs2 = rp + inv_ss * rs
             rhs = -(rx + m.jtprod(jvals, D * rhs2))
-            dx = kkt.solve(fac, rhs)
+            # sharded-iterate fast path (VERDICT round-2 item 5): on the
+            # shard_map-aligned backends the solve AND the whole refinement
+            # loop below run in T-layout (per-device block slots + a
+            # replicated border) with zero O(n) collectives; the one O(n)
+            # all-gather per step direction is the final tl_scatter that
+            # hands dx back to the replicated iterate.  ir32 is excluded:
+            # its exact-f64 operator is model-side (hvp_lag) and needs the
+            # replicated vector each round anyway.
+            use_tl = (getattr(kkt, "tlayout", False) and not ir_ref
+                      and not getattr(kkt, "exact_solve", False))
+            if use_tl:
+                r_tl = kkt.tl_gather(rhs)
+                dx_tl = kkt.solve_tl(fac, r_tl)
+                dx = None
+            else:
+                dx = kkt.solve(fac, rhs)
             # Residual-driven iterative refinement of the CONDENSED solve.
             # (Full-space refinement of (dx, ds, dy) jointly was tried and
             # reverted: the slack-dual row (Sigma_s)*ds carries a rounding
@@ -947,32 +962,52 @@ class IpmSolver:
                         jax.lax.while_loop(pcg_cond, pcg_body, init)
                     ref_ok = rr_final <= refine_accept
                 else:
+                    # generic refinement over either layout: replicated
+                    # vectors (single-device / GSPMD backends) or T-layout
+                    # pairs (aligned sharded backends -- zero O(n)
+                    # collectives per round)
+                    if use_tl:
+                        vnorm, vsub, vadd = (kkt.tl_norm, kkt.tl_sub,
+                                             kkt.tl_add)
+                        vsel = kkt.tl_where
+                        ksolve = lambda r: kkt.solve_tl(fac, r)
+                        kmv = lambda w: kkt.matvec_tl(K, w)
+                        rhs_v, dx_v = r_tl, dx_tl
+                    else:
+                        vnorm, vsub, vadd = (jnp.linalg.norm, jnp.subtract,
+                                             jnp.add)
+                        vsel = lambda p, a, b: jnp.where(p, a, b)
+                        ksolve = lambda r: kkt.solve(fac, r)
+                        kmv = Kmv
+                        rhs_v, dx_v = rhs, dx
+
                     def ref_cond(val):
                         _, resid, prev, i = val
-                        rr = jnp.linalg.norm(resid) / rhs_norm
+                        rr = vnorm(resid) / rhs_norm
                         return ((rr > refine_tol)
                                 & (rr < refine_contract * prev)
                                 & (i < refine_max))
 
                     def ref_body(val):
                         dxc, resid, prev, i = val
-                        dxn = dxc + kkt.solve(fac, resid)
-                        residn = rhs - Kmv(dxn)
-                        rr = jnp.linalg.norm(resid) / rhs_norm
-                        rrn = jnp.linalg.norm(residn) / rhs_norm
+                        dxn = vadd(dxc, ksolve(resid))
+                        residn = vsub(rhs_v, kmv(dxn))
+                        rr = vnorm(resid) / rhs_norm
+                        rrn = vnorm(residn) / rhs_norm
                         # keep the better iterate if refinement diverges
                         worse = rrn > rr
-                        dxn = jnp.where(worse, dxc, dxn)
-                        residn = jnp.where(worse, resid, residn)
+                        dxn = vsel(worse, dxc, dxn)
+                        residn = vsel(worse, resid, residn)
                         return dxn, residn, rr, i + 1
 
-                    resid0 = rhs - Kmv(dx)
-                    dx, resid, _, _ = jax.lax.while_loop(
+                    resid0 = vsub(rhs_v, kmv(dx_v))
+                    dx_v, resid, _, _ = jax.lax.while_loop(
                         ref_cond, ref_body,
-                        (dx, resid0, jnp.asarray(jnp.inf, dt),
+                        (dx_v, resid0, jnp.asarray(jnp.inf, dt),
                          jnp.asarray(0, jnp.int32)))
-                    rr_final = jnp.linalg.norm(resid) / rhs_norm
+                    rr_final = vnorm(resid) / rhs_norm
                     ref_ok = rr_final <= refine_accept
+                    dx = kkt.tl_scatter(dx_v) if use_tl else dx_v
             else:
                 rr_final = jnp.zeros((), dt)
                 ref_ok = jnp.asarray(True)

@@ -49,7 +49,75 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from .block_tridiag import BlockTridiagKKT, _chol_linv, _apply_inv
 
 
-class ShardedScenarioKKT(BlockTridiagKKT):
+class TLayoutOps:
+    """T-layout vector interface shared by the shard_map-aligned backends.
+
+    A *T-layout* vector is the pair ``(xT, xB)`` where ``xT`` has global
+    shape ``(nd, nb_loc*bs)`` sharded one row per device (each device's own
+    padded block slots; padding entries are identically zero) and ``xB`` is
+    the replicated ``(mB,)`` border part.  ``solve_tl``/``matvec_tl``
+    operate natively in this layout with only O(border)+O(halo)
+    collectives, so the IPM's iterative-refinement loop pays ZERO O(n)
+    communication per round (VERDICT round-2 item 5); the single O(n)
+    collective left per step direction is the one :meth:`tl_scatter` that
+    hands the finished step back to the replicated iterate -- an
+    all-gather, which moves half the bytes of the psum it replaces.
+    """
+
+    tlayout = False     # set True by the aligned builders
+
+    def tl_gather(self, rhs):
+        """Replicated ``(n,)`` vector -> T-layout pair.  Collective-free:
+        each device gathers its own slots from the replicated input."""
+        b_ids = self._b_ids_np
+
+        def local(rhs, src, smask):
+            return (rhs[src[0]] * smask[0])[None], rhs[b_ids]
+
+        sp, rep = self._sp(), jax.sharding.PartitionSpec()
+        fn = self._smap(local, in_specs=(rep, sp, sp),
+                        out_specs=(sp, rep))
+        return fn(rhs, *self._rT_src)
+
+    def tl_scatter(self, x):
+        """T-layout pair -> replicated ``(n,)`` vector.  ONE all-gather of
+        the T part (the only O(n) collective in the whole step path)."""
+        xT, xB = x
+        n, mB, ax = self.n, self.mB, self.mesh_axis
+        src_flat = self._src_full_np.reshape(-1)
+        mask_flat = self._smask_full_np.reshape(-1)
+        b_ids = self._b_ids_np
+
+        def local(xT, xB):
+            g = jax.lax.all_gather(xT[0], ax)          # (nd, L) replicated
+            out = jnp.zeros(n, xT.dtype).at[src_flat].add(
+                g.reshape(-1) * jnp.asarray(mask_flat, xT.dtype))
+            if mB:
+                out = out.at[b_ids].set(xB)
+            return out
+
+        sp, rep = self._sp(), jax.sharding.PartitionSpec()
+        fn = self._smap(local, in_specs=(sp, rep), out_specs=rep)
+        return fn(xT, xB)
+
+    def tl_add(self, a, b):
+        return jax.tree.map(jnp.add, a, b)
+
+    def tl_sub(self, a, b):
+        return jax.tree.map(jnp.subtract, a, b)
+
+    def tl_where(self, pred, a, b):
+        return jax.tree.map(lambda u, v: jnp.where(pred, u, v), a, b)
+
+    def tl_norm(self, a):
+        """2-norm of a T-layout vector; equals the replicated norm because
+        padding slots are identically zero and the border is replicated.
+        Lowers to per-device partial sums + a scalar psum."""
+        xT, xB = a
+        return jnp.sqrt(jnp.sum(xT * xT) + jnp.sum(xB * xB))
+
+
+class ShardedScenarioKKT(TLayoutOps, BlockTridiagKKT):
     """Block-diagonal scenario KKT with shard_map-aligned assembly.
 
     Falls back to the parent's behavior (GSPMD sharding constraints, or
@@ -72,6 +140,7 @@ class ShardedScenarioKKT(BlockTridiagKKT):
         except _NotAlignable:
             return
         self.aligned = True
+        self.tlayout = True
 
     # ------------------------------------------------------------------
     def _build_aligned(self, model, nd):
@@ -205,6 +274,8 @@ class ShardedScenarioKKT(BlockTridiagKKT):
             src[d, loc] = t_ids[sel]
             smask[d, loc] = 1.0
         self._rT_src = (shx(src), shx(smask))
+        self._src_full_np = src          # replicated copies for tl_scatter
+        self._smask_full_np = smask
         self._b_ids_np = b_ids
 
     # ------------------------------------------------------------------
@@ -351,76 +422,72 @@ class ShardedScenarioKKT(BlockTridiagKKT):
         return (Linv, Z, Ls, sT, sB), ok
 
     # ------------------------------------------------------------------
-    def solve(self, fac, rhs):
-        if not self.aligned:
-            return super().solve(fac, rhs)
+    def solve_tl(self, fac, r):
+        """Solve in T-layout: collectives are exactly one O(mB) psum of the
+        border rhs (nothing when mB == 0)."""
         ax = self.mesh_axis
         nb_loc, bs, mB = self.nb_loc, self.bs, self.mB
-        n = self.n
-        b_ids = self._b_ids_np
 
-        def local(Linv, Z, Ls, sT, sB, rhs, src, smask):
-            dt = rhs.dtype
+        def local(Linv, Z, Ls, sT, sB, rT2, rB):
+            dt = rT2.dtype
             fdt = Z.dtype
-            rT = (rhs[src[0]] * smask[0]).reshape(nb_loc, bs)
+            rT = rT2[0].reshape(nb_loc, bs)
             rT = (rT * sT).astype(fdt)
             u = _apply_inv(Linv, rT[..., None])[..., 0]
             if mB:
-                rB = (rhs[b_ids] * sB).astype(fdt)
-                rhs2 = rB - jax.lax.psum(
+                rBs = (rB * sB).astype(fdt)
+                rhs2 = rBs - jax.lax.psum(
                     jnp.einsum("bij,bi->j", Z, rT), ax)
                 z2 = jsl.solve_triangular(Ls, rhs2, lower=True)
                 x2 = jsl.solve_triangular(Ls.T, z2, lower=False)
                 x1 = u - jnp.einsum("bij,j->bi", Z, x2)
+                xB = x2.astype(dt) * sB
             else:
                 x1 = u
-                x2 = jnp.zeros(0, fdt)
+                xB = jnp.zeros(0, dt)
             x1 = x1.astype(dt) * sT
-            out = jnp.zeros(n, dt).at[src[0]].add(
-                x1.reshape(-1) * smask[0])
-            out = jax.lax.psum(out, ax)
-            if mB:
-                out = out.at[b_ids].set(x2.astype(dt) * sB)
-            return out
+            return x1.reshape(1, -1), xB
 
         sp, rep = self._sp(), P()
         fn = self._smap(
-            local, in_specs=(sp, sp, rep, sp, rep, rep, sp, sp),
-            out_specs=rep)
-        return fn(*fac, rhs, *self._rT_src)
+            local, in_specs=(sp, sp, rep, sp, rep, sp, rep),
+            out_specs=(sp, rep))
+        return fn(*fac, *r)
+
+    def solve(self, fac, rhs):
+        if not self.aligned:
+            return super().solve(fac, rhs)
+        return self.tl_scatter(self.solve_tl(fac, self.tl_gather(rhs)))
 
     # ------------------------------------------------------------------
+    def matvec_tl(self, K, v):
+        """K @ v in T-layout: one O(mB) psum for the border row."""
+        ax = self.mesh_axis
+        nb_loc, bs, mB = self.nb_loc, self.bs, self.mB
+
+        def local(D, B, C, vT2, vB):
+            out_dt = vT2.dtype
+            dt = D.dtype
+            vT = vT2[0].reshape(nb_loc, bs).astype(dt)
+            oT = jnp.einsum("bij,bj->bi", D, vT)
+            if mB:
+                vBd = vB.astype(dt)
+                oT = oT + jnp.einsum("bij,j->bi", B, vBd)
+                oB = (jax.lax.psum(jnp.einsum("bij,bi->j", B, vT), ax)
+                      + C @ vBd)
+            else:
+                oB = jnp.zeros(0, dt)
+            return oT.reshape(1, -1).astype(out_dt), oB.astype(out_dt)
+
+        sp, rep = self._sp(), P()
+        fn = self._smap(local, in_specs=(sp, sp, rep, sp, rep),
+                        out_specs=(sp, rep))
+        return fn(*K, *v)
+
     def matvec(self, K, v):
         if not self.aligned:
             return super().matvec(K, v)
-        ax = self.mesh_axis
-        nb_loc, bs, mB = self.nb_loc, self.bs, self.mB
-        n = self.n
-        b_ids = self._b_ids_np
-
-        def local(D, B, C, v, src, smask):
-            out_dt = v.dtype
-            dt = D.dtype
-            v = v.astype(dt)
-            smask_ = smask.astype(dt)
-            vT = (v[src[0]] * smask_[0]).reshape(nb_loc, bs)
-            oT = jnp.einsum("bij,bj->bi", D, vT)
-            if mB:
-                vB = v[b_ids]
-                oT = oT + jnp.einsum("bij,j->bi", B, vB)
-                oB = jax.lax.psum(
-                    jnp.einsum("bij,bi->j", B, vT), ax) + C @ vB
-            out = jnp.zeros(n, dt).at[src[0]].add(
-                oT.reshape(-1) * smask_[0])
-            out = jax.lax.psum(out, ax)
-            if mB:
-                out = out.at[b_ids].set(oB)
-            return out.astype(out_dt)
-
-        sp, rep = self._sp(), P()
-        fn = self._smap(local, in_specs=(sp, sp, rep, rep, sp, sp),
-                        out_specs=rep)
-        return fn(*K, v, *self._rT_src)
+        return self.tl_scatter(self.matvec_tl(K, self.tl_gather(v)))
 
 
 class _NotAlignable(Exception):

@@ -168,12 +168,14 @@ def test_aligned_kkt_matches_replicated():
 
 
 def test_aligned_kkt_communication_is_border_only():
-    """Hardware-independent scaling evidence: the compiled aligned
-    assemble+factor+solve step contains NO all-gather/all-to-all (the COO
-    assembly never leaves the device) and every all-reduce is
-    O(border + n) sized -- the arrowhead's Schur-corner psum, the border
-    rhs psum, and the replicated-solution psum.  An O(nnz) collective
-    appearing here would mean assembly communicates again."""
+    """Hardware-independent scaling evidence for the SHARDED-ITERATE path
+    (VERDICT round-2 item 5): the compiled aligned assemble + factor +
+    T-layout solve/matvec/refinement-round step contains NO all-gather/
+    all-to-all and every all-reduce is O(border) sized -- the arrowhead's
+    Schur-corner psum, the border rhs psum, and scalar norm reductions.
+    ZERO O(n) collectives: the solution stays sharded by scenario block.
+    An O(nnz) collective appearing here would mean assembly communicates
+    again."""
     import re
     from infiniteexamodels_jl_tpu.solvers.scenario_shard import (
         ShardedScenarioKKT)
@@ -183,7 +185,7 @@ def test_aligned_kkt_communication_is_border_only():
     mesh = make_mesh(8)
     shard_model(model, mesh)
     kkt = ShardedScenarioKKT(model, mesh=mesh)
-    assert kkt.aligned
+    assert kkt.aligned and kkt.tlayout
 
     n, mm = model.nvar, model.ncon
     lam = jnp.zeros(mm)
@@ -191,16 +193,22 @@ def test_aligned_kkt_communication_is_border_only():
     de = jnp.ones(n)
     rhs = jnp.ones(n)
 
-    def step(x, th):
+    def step_tl(x, th):
+        # one full solve + one refinement round, all in T-layout
         K = kkt.assemble(x, th, lam, 1.0, d, de)
         fac, _ = kkt.factor(K)
-        return kkt.solve(fac, rhs)
+        r = kkt.tl_gather(rhs)
+        dx = kkt.solve_tl(fac, r)
+        resid = kkt.tl_sub(r, kkt.matvec_tl(K, dx))
+        dx = kkt.tl_add(dx, kkt.solve_tl(fac, resid))
+        return dx, kkt.tl_norm(resid)
 
-    hlo = jax.jit(step).lower(model.x0, model.theta).compile().as_text()
+    hlo = jax.jit(step_tl).lower(model.x0, model.theta).compile().as_text()
     assert not re.search(r"(all-gather|all-to-all)\(", hlo)
-    # every all-reduce shape must be <= max(n, mB^2) elements (no
-    # COO-stream or block-panel sized reductions)
-    cap = max(n + 64, kkt.mB * kkt.mB + kkt.mB)
+    # every all-reduce shape must be <= O(mB^2) elements -- strictly less
+    # than n: the iterate never re-replicates inside the solve
+    cap = kkt.mB * kkt.mB + kkt.mB + 64
+    assert cap < n
     for ln in hlo.splitlines():
         if "all-reduce(" not in ln:
             continue
@@ -208,6 +216,15 @@ def test_aligned_kkt_communication_is_border_only():
             dims = [int(x) for x in s.split(",") if x] or [1]
             el = int(np.prod(dims))
             assert el <= cap, f"oversized collective ({el} elems): {ln[:120]}"
+
+    # the replicated-vector wrapper pays exactly ONE O(nTpad) all-gather
+    # (the tl_scatter hand-back) and nothing larger
+    hlo_w = jax.jit(
+        lambda x, th: kkt.solve(kkt.factor(
+            kkt.assemble(x, th, lam, 1.0, d, de))[0], rhs)
+    ).lower(model.x0, model.theta).compile().as_text()
+    n_ag = len(re.findall(r"all-gather\(", hlo_w))
+    assert n_ag <= 1
 
 
 def test_band_shard_communication_is_halo_sized():
@@ -233,18 +250,25 @@ def test_band_shard_communication_is_halo_sized():
     de = jnp.ones(n)
     rhs = jnp.ones(n)
 
-    def step(x, th):
+    def step_tl(x, th):
+        # one full T-layout solve + one refinement round: the iterate
+        # never re-replicates (VERDICT round-2 item 5 applied to band)
         K = kkt.assemble(x, th, lam, 1.0, d, de)
         fac, _ = kkt.factor(K)
-        return kkt.solve(fac, rhs)
+        r = kkt.tl_gather(rhs)
+        dx = kkt.solve_tl(fac, r)
+        resid = kkt.tl_sub(r, kkt.matvec_tl(K, dx))
+        dx = kkt.tl_add(dx, kkt.solve_tl(fac, resid))
+        return dx, kkt.tl_norm(resid)
 
-    hlo = jax.jit(step).lower(model.x0, model.theta).compile().as_text()
+    hlo = jax.jit(step_tl).lower(model.x0, model.theta).compile().as_text()
     bs, nd = kkt.bs, kkt.nd
     # per-collective element caps: permute = halo (D+E+B blocks), gather =
-    # BCR tail, reduce = replicated solution / border corner
+    # BCR tail, reduce = border corner (NOT n: no solution replication)
     caps = {"collective-permute": 3 * bs * bs + bs * max(kkt.mB, 1) + 64,
             "all-gather": nd * bs * bs + 64,
-            "all-reduce": max(n, kkt.mB * kkt.mB) + 64}
+            "all-reduce": kkt.mB * kkt.mB + kkt.mB + 64}
+    assert caps["all-reduce"] < n
     assert not re.search(r"all-to-all\(", hlo)
     for ln in hlo.splitlines():
         for op, cap in caps.items():
@@ -256,6 +280,41 @@ def test_band_shard_communication_is_halo_sized():
                 el = int(np.prod(dims))
                 assert el <= cap, \
                     f"oversized {op} ({el} elems): {ln[:120]}"
+
+
+def test_tlayout_roundtrip_and_norm():
+    """T-layout conversion invariants on both aligned backends:
+    tl_scatter(tl_gather(v)) == v exactly (the layouts partition the
+    variables), and tl_norm matches the replicated 2-norm (padding slots
+    stay identically zero)."""
+    from infiniteexamodels_jl_tpu.models import quad
+    from infiniteexamodels_jl_tpu.solvers.scenario_shard import (
+        ShardedScenarioKKT)
+    from infiniteexamodels_jl_tpu.solvers.band_shard import ShardedBandKKT
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(11)
+
+    def check(kkt, n):
+        v = jnp.asarray(rng.standard_normal(n))
+        rt = jax.jit(lambda u: kkt.tl_scatter(kkt.tl_gather(u)))(v)
+        np.testing.assert_array_equal(np.asarray(rt), np.asarray(v))
+        nrm = float(jax.jit(lambda u: kkt.tl_norm(kkt.tl_gather(u)))(v))
+        assert nrm == pytest.approx(float(jnp.linalg.norm(v)), rel=1e-12)
+
+    m = pandemic(num_supports=10, num_scenarios=16)
+    model, _ = transcribe(m, row_pad=8)
+    shard_model(model, mesh)
+    sc = ShardedScenarioKKT(model, mesh=mesh)
+    assert sc.aligned and sc.tlayout
+    check(sc, model.nvar)
+
+    m2 = quad(num_supports=50)
+    model2, _ = transcribe(m2, row_pad=8)
+    shard_model(model2, mesh)
+    bd = ShardedBandKKT(model2, mesh=mesh)
+    assert bd.aligned and bd.tlayout
+    check(bd, model2.nvar)
 
 
 def test_band_shard_kkt_matches_replicated():
