@@ -76,9 +76,25 @@ def pipelines(kkt, model):
         fac, _ = kkt.factor(K)
         return kkt.solve(fac, rhs)
 
+    step_tl = None
+    if getattr(kkt, "tlayout", False):
+        # the sharded-iterate step the IPM actually runs on the aligned
+        # backends: solve + one refinement round entirely in T-layout; the
+        # iterate never re-replicates (ZERO O(n) collectives -- audited)
+        def step_tl(x, th):  # noqa: F811
+            K = kkt.assemble(x, th, lam, 1.0, d, de)
+            fac, _ = kkt.factor(K)
+            r = kkt.tl_gather(rhs)
+            dx = kkt.solve_tl(fac, r)
+            resid = kkt.tl_sub(r, kkt.matvec_tl(K, dx))
+            dx = kkt.tl_add(dx, kkt.solve_tl(fac, resid))
+            return dx, kkt.tl_norm(resid)
+
+        step_tl = jax.jit(step_tl)
+
     asm = jax.jit(lambda x, th: kkt.assemble(x, th, lam, 1.0, d, de))
     fac = jax.jit(lambda K: kkt.factor(K)[0])
-    return jax.jit(step), asm, fac
+    return jax.jit(step), asm, fac, step_tl
 
 
 def timed(fn, *args, reps=10):
@@ -101,23 +117,51 @@ def audit(step, model):
 
 
 def run(kkt, model, label, do_audit=False):
-    step, asm, fac = pipelines(kkt, model)
+    step, asm, fac, step_tl = pipelines(kkt, model)
     K = asm(model.x0, model.theta)
     t_a = timed(asm, model.x0, model.theta)
     t_f = timed(fac, K, reps=5)
     t_s = timed(step, model.x0, model.theta, reps=5)
     print(f"{label:12s} assemble {t_a:8.1f}  factor {t_f:8.1f}  "
           f"step {t_s:8.1f} ms")
+    t_tl = None
+    if step_tl is not None:
+        t_tl = timed(step_tl, model.x0, model.theta, reps=5)
+        print(f"{label + '/tl':12s} sharded-iterate step (solve + 1 "
+              f"refinement round, no re-replication) {t_tl:8.1f} ms")
     if do_audit:
         lines, bad = audit(step, model)
         print(f"  HLO collectives in the {label} step "
               f"({len(lines)} total):")
         for ln in lines:
             print("   ", ln[:150])
+        n_exp = 1 if getattr(kkt, "tlayout", False) else 0
         print("  gather/all-to-all collectives:",
-              "NONE (assembly is communication-free)" if not bad
-              else f"{len(bad)} FOUND")
-    return t_a, t_f, t_s
+              "NONE (assembly is communication-free)" if not bad else
+              (f"{len(bad)} (the solution hand-back all-gather -- expected)"
+               if len(bad) <= n_exp else f"{len(bad)} FOUND (UNEXPECTED)"))
+        if step_tl is not None:
+            hlo = step_tl.lower(model.x0,
+                                model.theta).compile().as_text()
+            colls = [ln.strip().split(" metadata=")[0]
+                     for ln in hlo.splitlines()
+                     if re.search(COLL + r"\(", ln)]
+            # every collective must be strictly smaller than n elements
+            n = model.nvar
+            big = []
+            for ln in colls:
+                for s in re.findall(r"f(?:32|64)\[([\d,]*)\]",
+                                    ln.split("(")[0]):
+                    dims = [int(x) for x in s.split(",") if x] or [1]
+                    el = 1
+                    for v in dims:
+                        el *= v
+                    if el >= n:
+                        big.append(ln)
+            print(f"  T-layout step collectives: {len(colls)} total, "
+                  + ("ZERO of size >= n (iterate stays sharded)"
+                     if not big else f"{len(big)} of size >= n FOUND"))
+    return t_a, t_f, t_s, t_tl
 
 
 def main():
@@ -137,6 +181,10 @@ def main():
           f"(per-device row work is 1/{N_DEV})")
     print(f"full step: {rep[2]/al[2]:5.2f}x vs replicated "
           "(CPU-mesh caveat above; on real chips each device adds compute)")
+    if al[3] is not None:
+        print(f"sharded-iterate (T-layout) step: {rep[2]/al[3]:5.2f}x vs "
+              f"replicated, {al[2]/al[3]:5.2f}x vs the replicated-solution "
+              "wrapper -- includes a refinement round the wrapper doesn't")
 
 
 if __name__ == "__main__":

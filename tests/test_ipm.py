@@ -267,6 +267,33 @@ def test_profiler_trace_dir(tmp_path):
                for f in found), found
 
 
+def test_ray_damping_noninterference():
+    """Opt-in dual-ray proximal damping (ray_damping: pulls multiplier
+    excess beyond ray_y_cap toward zero) must leave healthy endgames
+    untouched -- its gate (|y| beyond the cap AND primal converged AND
+    capped dual error far from stationary) never fires on a regular NLP,
+    so the hs071 trajectory is bit-identical.  The feature itself is
+    measured on pandemic (100,8): du 3.4e-4 -> 2.0e-4 at the acceptable
+    gate with the oracle objective preserved to 2e-5 (see the ray_*
+    option comments in solvers/ipm.py)."""
+    def build():
+        core = Core()
+        x = core.add_var((4,), lvar=1.0, uvar=5.0,
+                         start=np.array([1.0, 5.0, 5.0, 1.0]), name="x")
+        core.add_obj(x[0] * x[3] * (x[0] + x[1] + x[2]) + x[2])
+        core.add_con(x[0] * x[1] * x[2] * x[3], lcon=25.0, ucon=np.inf)
+        core.add_con(abs2(x[0]) + abs2(x[1]) + abs2(x[2]) + abs2(x[3]),
+                     lcon=40.0, ucon=40.0)
+        return core
+
+    r0, _ = solve(build())
+    r1, _ = solve(build(), ray_damping=True)
+    assert r1.status == "first_order"
+    assert r1.iter == r0.iter
+    np.testing.assert_array_equal(np.asarray(r1.solution),
+                                  np.asarray(r0.solution))
+
+
 def test_adaptive_barrier():
     """barrier="adaptive" (LOQO centrality-clipped mu, the reference's
     MadNLP barrier-strategy option, test/madnlp.jl:32-34) converges to the

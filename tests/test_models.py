@@ -106,6 +106,30 @@ def test_pandemic():
     assert np.all(uv >= -1e-6) and np.all(uv <= 0.8 + 1e-6)
 
 
+def test_pandemic_rollout_start_feasible():
+    """``u_start`` engages the backward-Euler SEIR rollout warmstart: the
+    transcribed initial point satisfies every EQUALITY row -- the
+    discretized dynamics, the FD derivative definitions (the derivative
+    variables start at the implicit f(x_k) values) and the initial
+    conditions -- to Newton tolerance.  Only the i <= 0.02 path
+    INEQUALITY may start violated (the epidemic under the given control
+    can exceed the cap)."""
+    from infiniteexamodels_jl_tpu.transcribe import transcribe
+
+    m = pandemic(num_supports=40, num_scenarios=4, u_start=0.3)
+    model, _ = transcribe(m)
+    c = np.asarray(model.cons(model.x0, model.theta))
+    lc, uc = np.asarray(model.lcon), np.asarray(model.ucon)
+    eq = lc == uc
+    viol = np.maximum(lc - c, c - uc).clip(min=0.0)
+    assert viol[eq].max() < 1e-9
+    # the callable form matches the array form
+    m2 = pandemic(num_supports=40, num_scenarios=4, u_start=lambda t: 0.3)
+    model2, _ = transcribe(m2)
+    np.testing.assert_allclose(np.asarray(model2.x0),
+                               np.asarray(model.x0), rtol=0, atol=0)
+
+
 def test_pandemic_limit_cycle_escape():
     """At the reference's larger pandemic sweep sizes ((100,8)/(100,128),
     ESCAPE34/run_cases_cpu.jl:108-110) the degenerate dual ray produces an
