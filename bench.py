@@ -238,13 +238,17 @@ def run_sync(kind, size, timeout, platform="device", fdtype="float64"):
 
 
 def device_available(timeout=240):
-    """Health probe of the tunneled TPU in a subprocess: device init plus
-    one tiny matmul.  The tunnel is observed to go UNAVAILABLE for
-    stretches (backend init then hangs minutes before erroring); a solve
-    attempt during such a window would eat the whole cascade budget."""
-    code = ("import jax, jax.numpy as jnp\n"
-            "x = jnp.ones((8, 8))\n"
-            "print('ok', (x @ x).sum())\n")
+    """Health probe of the tunneled TPU in a subprocess.  The tunnel is
+    observed to go UNAVAILABLE for stretches (backend init then hangs
+    minutes before erroring); a solve attempt during such a window would
+    eat the whole cascade budget.  The probe is device INIT only -- a
+    compiled op would false-negative on a cold compile cache, where even
+    an 8x8 matmul pays the minutes-scale remote-compile latency (observed:
+    >240 s; the cascade's own stage budgets are sized for that cost)."""
+    code = ("import jax\n"
+            "ds = jax.devices()\n"
+            "assert ds and ds[0].platform != 'cpu', ds\n"
+            "print('ok', ds)\n")
     try:
         out = subprocess.run([sys.executable, "-c", code],
                              capture_output=True, text=True,

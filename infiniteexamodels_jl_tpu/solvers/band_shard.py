@@ -50,7 +50,7 @@ import jax.scipy.linalg as jsl
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .block_tridiag import (BlockTridiagKKT, _bcr_factor, _bcr_solve,
-                            _chol_linv, _apply_inv)
+                            _chol_linv, _apply_inv, _lsolve)
 from .scenario_shard import TLayoutOps
 
 
@@ -372,9 +372,8 @@ class ShardedBandKKT(TLayoutOps, BlockTridiagKKT):
             E_odd = jnp.concatenate([E[2::2], E_next0[None]])
             E_even = E[1::2]
             levels.append((Linv, E_odd, E_even))
-            W1 = jsl.solve_triangular(L, jnp.swapaxes(E_odd, -1, -2),
-                                      lower=True)
-            W2 = jsl.solve_triangular(L, E_even, lower=True)
+            W1 = _lsolve(L, Linv, jnp.swapaxes(E_odd, -1, -2))
+            W2 = _lsolve(L, Linv, E_even)
             D_new = D[0::2]
             # right-survivor updates: -W1^T W1; the last one crosses the
             # segment boundary (push right; device nd-1 pushes zeros)

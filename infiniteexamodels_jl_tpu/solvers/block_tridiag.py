@@ -55,13 +55,38 @@ from .kkt import DenseKKT
 # ----------------------------------------------------------------------
 def _chol_linv(D):
     """Batched Cholesky D = L L^T plus the explicit triangular inverse
-    L^{-1} (one batched triangular solve against I).  Applying D^{-1} is
-    then two batched matmuls: D^{-1} b = L^{-T} (L^{-1} b)."""
+    L^{-1}.  Applying D^{-1} is then two batched matmuls:
+    D^{-1} b = L^{-T} (L^{-1} b).
+
+    On the f32 (ir32/mixed) step sets running on a real TPU this routes
+    through the fused Pallas kernel (solvers/pallas_chol.py) -- one
+    VMEM-resident pass per block chunk instead of XLA's separate blocked
+    cholesky + triangular-solve routines; the emulated-f64 path and host
+    CPU stay on XLA (kill switch: IXM_PALLAS=0)."""
+    from .pallas_chol import (chol_linv_pallas, pallas_chol_enabled,
+                              pallas_interpret_needed)
+
+    if pallas_chol_enabled(D.dtype):
+        return chol_linv_pallas(D, interpret=pallas_interpret_needed())
     L = jnp.linalg.cholesky(D)
     eye = jnp.eye(D.shape[-1], dtype=D.dtype)
     Linv = jsl.solve_triangular(L, jnp.broadcast_to(eye, D.shape),
                                 lower=True)
     return L, Linv, jnp.all(jnp.isfinite(Linv))
+
+
+def _lsolve(L, Linv, X):
+    """W = L^{-1} X for the Gram-form factor updates.  The f64 path keeps
+    the backward-stable batched triangular solve; the f32-on-TPU path
+    multiplies by the Pallas kernel's explicit inverse instead (pure
+    batched matmuls on the MXU -- the Gram structure ``-W^T W`` of the
+    downstream updates is preserved either way, and the IPM's f64
+    refinement owns final accuracy)."""
+    from .pallas_chol import pallas_chol_enabled
+
+    if pallas_chol_enabled(L.dtype):
+        return jnp.einsum("kij,kjl->kil", Linv, X)
+    return jsl.solve_triangular(L, X, lower=True)
 
 
 def _apply_inv(Linv, b):
@@ -99,9 +124,8 @@ def _bcr_factor(D, E):
         E_even = Epad[0::2][:m_odd]                # (m_odd,) E[2k]
         levels.append((Linv, E_odd, E_even))
         # Gram factors: W1 = L^{-1} E_odd^T, W2 = L^{-1} E_even
-        W1 = jsl.solve_triangular(L, jnp.swapaxes(E_odd, -1, -2),
-                                  lower=True)
-        W2 = jsl.solve_triangular(L, E_even, lower=True)
+        W1 = _lsolve(L, Linv, jnp.swapaxes(E_odd, -1, -2))
+        W2 = _lsolve(L, Linv, E_even)
         D_new = D[0::2]
         # left term  E[2k-1] D^{-1} E[2k-1]^T = W1^T W1 -> index k (k>=1)
         Lc = jnp.einsum("kja,kjb->kab", W1, W1)

@@ -1,0 +1,159 @@
+"""Pallas TPU kernel: fused batched Cholesky factorization + explicit
+triangular inverse for the structured-KKT block factorizations.
+
+Role (reference parity): this is the TPU-native analogue of the dense
+per-block kernels inside CUDSS/MA27 that the reference pipeline reaches
+through MadNLP/Ipopt (reference README.md:36-41); in this framework every
+structured backend (block-diag scenario, BCR band, their sharded variants)
+bottoms out in ``_chol_linv`` -- batched ``D = L L^T`` plus ``L^{-1}`` --
+so one fused kernel accelerates the whole factorization stack.
+
+Why a kernel at all: XLA lowers ``jnp.linalg.cholesky`` +
+``solve_triangular`` for a batch of SMALL blocks (bs = 8..128, nb =
+tens..thousands) into separate blocked routines with their own HBM
+round-trips; on the f32 (ir32/mixed) step sets these latency-bound solves
+sit on the critical path of every IPM iteration.  The fused kernel keeps
+each G-block chunk resident in VMEM, runs a masked right-looking Cholesky
+column loop and a masked forward-substitution loop back to back, and
+writes L and L^{-1} once.  All ops are mask/select/reduce on (G, n, n)
+tiles -- fully vectorized on the VPU across the batch and lane axes, no
+dynamic slicing (Mosaic-friendly), no data-dependent shapes.
+
+The kernel is f32-only by design: TPU f64 is emulated (the f64 path stays
+on XLA), and every low-precision step set already recovers f64 accuracy
+via the IPM's iterative refinement (solvers/ipm.py ir32 design).
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _chol_inv_kernel(a_ref, l_ref, linv_ref):
+    """One grid program: Cholesky + L^{-1} of a (G, n, n) chunk in VMEM."""
+    M = a_ref[:]
+    G, n, _ = M.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+
+    def chol_step(j, M):
+        # x64 mode makes the induction variable i64; Mosaic wants i32
+        j = j.astype(jnp.int32)
+        # pivot d = sqrt(M[j, j]) via masked reduction (no dynamic slice;
+        # one axis at a time -- multi-axis reduces crash the Mosaic
+        # toolchain behind the remote-compile tunnel)
+        pj = jnp.sum(jnp.sum(jnp.where((row == j) & (col == j), M, 0.0),
+                             axis=2), axis=1)            # (G,)
+        d = jnp.sqrt(pj)
+        # column j of the trailing matrix
+        cfull = jnp.sum(jnp.where(col == j, M, 0.0), axis=2)   # (G, n)
+        i_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        colv = jnp.where(i_ids > j, cfull / d[:, None], 0.0)
+        colv = jnp.where(i_ids == j, d[:, None], colv)         # final L col
+        # rank-1 trailing update on (row > j, col > j)
+        upd = colv[:, :, None] * colv[:, None, :]
+        M = M - jnp.where((row > j) & (col > j), upd, 0.0)
+        # store the finished column j
+        return jnp.where(col == j, colv[:, :, None], M)
+
+    M = jax.lax.fori_loop(0, n, chol_step, M)
+    L = jnp.where(row >= col, M, 0.0)
+    l_ref[:] = L
+
+    diag = jnp.sum(jnp.where(row == col, L, 0.0), axis=2)      # (G, n)
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)     # (1, n)
+
+    def inv_step(i, X):
+        i = i.astype(jnp.int32)
+        # row i of L with the diagonal removed: only k < i entries remain
+        lrow = jnp.sum(jnp.where(row == i, L, 0.0), axis=1)    # (G, n)
+        lrow = jnp.where(k_ids == i, 0.0, lrow)
+        di = jnp.sum(jnp.where(k_ids == i, diag, 0.0), axis=1)  # (G,)
+        s = jnp.sum(lrow[:, :, None] * X, axis=1)              # (G, n)
+        e = jnp.where(k_ids == i, 1.0, 0.0)                    # (1, n)
+        xrow = (e - s) / di[:, None]
+        return jnp.where(row == i, xrow[:, None, :], X)
+
+    X = jax.lax.fori_loop(0, n, inv_step,
+                          jnp.zeros((G, n, n), M.dtype))
+    linv_ref[:] = X
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _chol_inv_call(D, interpret=False):
+    nb, n, _ = D.shape
+    # chunk the batch so ~3 live (G, n, n) f32 buffers fit well inside VMEM
+    vmem_cap = 4 * 1024 * 1024
+    G = max(1, min(nb, vmem_cap // max(3 * n * n * 4, 1)))
+    # keep the sublane axis efficient and the grid exact
+    if G >= 8:
+        G = (G // 8) * 8
+    nb_pad = ((nb + G - 1) // G) * G
+    if nb_pad != nb:
+        # identity padding keeps every chunk SPD
+        pad = jnp.broadcast_to(jnp.eye(n, dtype=D.dtype),
+                               (nb_pad - nb, n, n))
+        D = jnp.concatenate([D, pad])
+    out = pl.pallas_call(
+        _chol_inv_kernel,
+        grid=(nb_pad // G,),
+        in_specs=[pl.BlockSpec((G, n, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((G, n, n), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((G, n, n), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((nb_pad, n, n), D.dtype),
+                   jax.ShapeDtypeStruct((nb_pad, n, n), D.dtype)),
+        interpret=interpret,
+    )(D)
+    return out[0][:nb], out[1][:nb]
+
+
+def chol_linv_pallas(D, interpret=False):
+    """Batched ``D = L L^T`` and ``L^{-1}`` via the fused Pallas kernel.
+
+    ``D``: (nb, n, n) float32, SPD per block.  Returns ``(L, Linv, ok)``
+    with the same contract as ``block_tridiag._chol_linv`` (``ok`` is the
+    finiteness certificate the IPM's regularization loop keys on: a
+    non-SPD block yields sqrt(<0) = NaN which propagates into L^{-1}).
+    """
+    if D.ndim != 3 or D.shape[-1] != D.shape[-2]:
+        raise ValueError(f"expected (nb, n, n) blocks, got {D.shape}")
+    L, Linv = _chol_inv_call(D, interpret=bool(interpret))
+    return L, Linv, jnp.all(jnp.isfinite(Linv))
+
+
+# ----------------------------------------------------------------------
+# dispatch policy
+# ----------------------------------------------------------------------
+_ENV = os.environ.get("IXM_PALLAS", "auto")
+
+
+def pallas_chol_enabled(dtype) -> bool:
+    """True when ``_chol_linv`` should route through the Pallas kernel:
+    f32 blocks on a real TPU backend (the emulated-f64 path and host CPU
+    stay on XLA).  ``IXM_PALLAS=0`` is the kill switch; ``IXM_PALLAS=1``
+    forces the kernel (interpreted on CPU -- tests only, it is slow)."""
+    if _ENV == "0" or jnp.dtype(dtype) != jnp.float32:
+        return False
+    if _ENV == "1":
+        return True
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        return False
+    return plat not in ("cpu", "gpu")
+
+
+def pallas_interpret_needed() -> bool:
+    try:
+        return jax.devices()[0].platform == "cpu"
+    except Exception:
+        return True
