@@ -12,9 +12,9 @@ number:
   work is never lost;
 - the cascade banks the cheapest certifiable config FIRST (quad-200,
   f64-only step set: half the compile inventory of ir32), then spends the
-  remaining budget on upgrades (quad-1000 ir32, then f64 on failure, then
-  quad-4000) that overwrite the banked metric only when they certify
-  (status first_order/acceptable at tol 1e-6);
+  remaining budget on upgrades with a retry ladder per size
+  (ir32 -> ir32 with the Pallas kernel disabled -> f64) so one failing
+  configuration never forfeits a scale;
 - a global wall-clock budget (IXM_BENCH_BUDGET, default 2700 s) bounds the
   whole run so the final JSON line is always emitted;
 - warm iter/s comes from the solver's own first_chunk/step_total timer
@@ -22,14 +22,23 @@ number:
   first 32-iteration chunk), confirmed by a full warm re-solve when the
   child has time left.
 
-``vs_baseline`` is measured, not invented: the banked problem is re-solved
-by the same solver on the host CPU backend (the framework's own Ipopt-role
-reference path, f64) and the ratio is TPU iter/s over CPU iter/s.  CPU
-references run CONCURRENTLY with later device stages (the device child is
-tunnel-bound, the CPU child is host-bound).
+``vs_baseline`` is measured, not invented: each certified problem size is
+re-solved by the same solver on the host CPU backend (the framework's own
+Ipopt-role reference path, f64) and the ratio is TPU iter/s over CPU
+iter/s.  CPU references run CONCURRENTLY with later device stages (the
+device child is tunnel-bound, the CPU child is host-bound).  The HEADLINE
+is the certified device result with the best vs_baseline (reference-role:
+ESCAPE34/utils.jl:3-33 compact per-run stats); every certified size is
+reported as its own entry under detail["metrics"].
 
-Set IXM_BENCH_OPF=1 to additionally run the 1000-scenario stochastic
-AC-OPF (batched scenario KKT) in the detail block.
+Output contract (VERDICT r3 item 1): the final line is scalars-only, all
+error strings truncated, and hard-capped at 1500 chars -- if the full
+detail would exceed that, stages are shrunk to status-only and finally the
+detail is dropped; the untruncated detail always goes to stderr and to
+BENCH_DETAIL.json next to this file.
+
+Set IXM_BENCH_OPF=0 to skip the budget-gated 1000-scenario stochastic
+AC-OPF stage (batched scenario KKT, runs when budget remains).
 """
 import json
 import os
@@ -59,13 +68,13 @@ try:
 except Exception:
     pass
 
-RUN_OPF = os.environ.get("IXM_BENCH_OPF", "0") != "0"
+RUN_OPF = os.environ.get("IXM_BENCH_OPF", "1") != "0"
 BUDGET_S = int(os.environ.get("IXM_BENCH_BUDGET", "2700"))
 # stage timeouts (each additionally clipped to the remaining global budget)
 BANK_TIMEOUT_S = int(os.environ.get("IXM_BENCH_BANK_TIMEOUT", "700"))
 QUAD_TIMEOUT_S = int(os.environ.get("IXM_BENCH_QUAD_TIMEOUT", "900"))
 BIG_TIMEOUT_S = int(os.environ.get("IXM_BENCH_BIG_TIMEOUT", "900"))
-OPF_TIMEOUT_S = int(os.environ.get("IXM_BENCH_OPF_TIMEOUT", "600"))
+OPF_TIMEOUT_S = int(os.environ.get("IXM_BENCH_OPF_TIMEOUT", "700"))
 CPU_TIMEOUT_S = int(os.environ.get("IXM_BENCH_CPU_TIMEOUT", "500"))
 
 T0 = time.time()
@@ -104,7 +113,8 @@ def child(kind, size, platform, fdtype):
         "opf": lambda: M.opf(num_supports=size),
     }[kind]
     base = {"kind": kind, "size": size, "platform": platform,
-            "factor_dtype": fdtype}
+            "factor_dtype": fdtype,
+            "pallas": os.environ.get("IXM_PALLAS", "auto")}
 
     t0 = time.time()
     m = build()
@@ -157,7 +167,7 @@ def child(kind, size, platform, fdtype):
             phases = {k: round(v * 1e3, 3)
                       for k, v in backend.solver.profile_phases().items()}
         except Exception as e:
-            phases = {"error": str(e)[:200]}
+            phases = {"error": str(e)[:120]}
     if phases:
         base["phase_ms"] = phases
     _emit(progress, {**base, "milestone": "final"})
@@ -169,7 +179,7 @@ def child(kind, size, platform, fdtype):
 # ----------------------------------------------------------------------
 class Run:
     def __init__(self, kind, size, timeout, platform="device",
-                 fdtype="float64"):
+                 fdtype="float64", pallas=None):
         self.spec = f"{kind}{size}_{platform}_{fdtype}"
         self.timeout = min(timeout, max(remaining() - 20, 0))
         self.deadline = time.time() + self.timeout
@@ -179,6 +189,8 @@ class Run:
         env = os.environ.copy()
         env["IXM_BENCH_PROGRESS"] = self.progress
         env["IXM_BENCH_CHILD_DEADLINE"] = str(self.deadline)
+        if pallas is not None:
+            env["IXM_PALLAS"] = pallas
         self.proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--child",
              kind, str(size), platform, fdtype],
@@ -221,7 +233,7 @@ class Run:
                 r["timed_out_after_s"] = round(self.timeout)
             if self.proc.returncode not in (0, None) and not timed_out \
                     and r.get("milestone") != "final":
-                r["child_error"] = (err or "")[-300:]
+                r["child_error"] = (err or "")[-600:]
             if r.get("iters_per_s") is None:
                 r = {"error": "no warm rate before "
                      + ("timeout" if timed_out else "exit"), **r}
@@ -233,29 +245,111 @@ class Run:
         return r
 
 
-def run_sync(kind, size, timeout, platform="device", fdtype="float64"):
-    return Run(kind, size, timeout, platform, fdtype).wait()
+def run_sync(kind, size, timeout, platform="device", fdtype="float64",
+             pallas=None):
+    return Run(kind, size, timeout, platform, fdtype, pallas).wait()
 
 
-def device_available(timeout=240):
+def device_available(timeout=300):
     """Health probe of the tunneled TPU in a subprocess.  The tunnel is
     observed to go UNAVAILABLE for stretches (backend init then hangs
     minutes before erroring); a solve attempt during such a window would
-    eat the whole cascade budget.  The probe is device INIT only -- a
-    compiled op would false-negative on a cold compile cache, where even
-    an 8x8 matmul pays the minutes-scale remote-compile latency (observed:
-    >240 s; the cascade's own stage budgets are sized for that cost)."""
+    eat the whole cascade budget.  Two-phase probe (ADVICE r3): backend
+    init prints a marker, then a compiled 8x8 matmul runs.  A completed
+    matmul is a definitive yes; a timeout AFTER the init marker appeared
+    is treated as available-with-cold-cache (even a trivial matmul pays
+    the minutes-scale remote-compile latency when the cache is cold); a
+    timeout with no marker means the tunnel is down."""
     code = ("import jax\n"
             "ds = jax.devices()\n"
             "assert ds and ds[0].platform != 'cpu', ds\n"
-            "print('ok', ds)\n")
+            "print('init_ok', ds, flush=True)\n"
+            "import jax.numpy as jnp\n"
+            "x = jnp.ones((8, 8))\n"
+            "print('exec_ok', (x @ x).sum(), flush=True)\n")
+    fd, path = tempfile.mkstemp(suffix=".txt", prefix="ixm_probe_")
+    os.close(fd)
     try:
-        out = subprocess.run([sys.executable, "-c", code],
-                             capture_output=True, text=True,
-                             timeout=timeout)
-        return "ok" in out.stdout
+        with open(path, "w") as out:
+            try:
+                subprocess.run([sys.executable, "-c", code],
+                               stdout=out, stderr=subprocess.DEVNULL,
+                               timeout=timeout)
+            except subprocess.TimeoutExpired:
+                pass
+        with open(path) as f:
+            text = f.read()
+        return "exec_ok" in text or "init_ok" in text
     except Exception:
         return False
+    finally:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+
+
+# ----------------------------------------------------------------------
+# final-line emission: compact, capped, driver-parseable (VERDICT r3 #1)
+# ----------------------------------------------------------------------
+_KEEP_KEYS = ("kind", "size", "platform", "factor_dtype", "pallas", "nvar",
+              "ncon", "build_s", "status", "iters", "objective",
+              "first_solve_s", "first_chunk_s", "iters_per_s", "resolve_s",
+              "milestone", "vs_baseline", "timed_out_after_s")
+_MINI_KEYS = ("status", "iters_per_s", "vs_baseline")
+
+
+def _compact(r, keys=_KEEP_KEYS, errors=True):
+    """Scalars-only stage summary with short error strings."""
+    out = {}
+    for k in keys:
+        v = r.get(k)
+        if v is None:
+            continue
+        if isinstance(v, float):
+            v = round(v, 6)
+        out[k] = v
+    if errors:
+        for k in ("error", "child_error"):
+            if r.get(k) and "error" not in out:
+                msg = " ".join(str(r[k]).split())
+                out["error"] = msg[-120:]
+    return out
+
+
+def emit_final(metric, value, vs, detail):
+    """Print the one driver line, hard-capped at 1500 chars; full detail
+    goes to stderr + BENCH_DETAIL.json unconditionally."""
+    side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_DETAIL.json")
+    try:
+        with open(side, "w") as f:
+            json.dump(detail, f, indent=1)
+    except Exception:
+        pass
+    print(json.dumps({"full_detail": detail})[:20000], file=sys.stderr)
+
+    head = {"metric": metric, "value": value, "unit": "iter/s",
+            "vs_baseline": vs}
+    metrics = detail.get("metrics")
+    stages = {k: v for k, v in detail.items() if k != "metrics"}
+
+    def level(keys, errors):
+        d = {k: (_compact(v, keys, errors) if isinstance(v, dict) else v)
+             for k, v in stages.items()}
+        if metrics:
+            d["metrics"] = metrics
+        return d
+
+    for shrink in (level(_KEEP_KEYS, True), level(_MINI_KEYS, False),
+                   {"metrics": metrics} if metrics else None, None):
+        payload = dict(head) if shrink is None else {**head,
+                                                     "detail": shrink}
+        line = json.dumps(payload)
+        if len(line) < 1500:
+            break
+    assert len(line) < 1500, len(line)
+    print(line)
 
 
 def main():
@@ -267,20 +361,16 @@ def main():
         cpu = run_sync("quad", 1000, min(CPU_TIMEOUT_S, remaining()),
                        platform="cpu")
         flag = "" if certified(cpu) else "_UNCERTIFIED"
-        print(json.dumps({
-            "metric": f"quad1000_ipm_iterations_per_s_CPU_FALLBACK{flag}",
-            "value": cpu.get("iters_per_s") or 0.0,
-            "unit": "iter/s",
-            "vs_baseline": 0.0,
-            "detail": {"error": "tpu tunnel unavailable", **cpu},
-        }))
+        detail["cpu_fallback"] = cpu
+        emit_final(f"quad1000_ipm_iterations_per_s_CPU_FALLBACK{flag}",
+                   cpu.get("iters_per_s") or 0.0, 0.0,
+                   {"error": "tpu tunnel unavailable", **detail})
         return
 
-    banked = None           # best certified device result so far
+    certified_runs = {}     # label -> device result (certified, has rate)
     cpu_refs = {}           # (kind,size) -> Run
 
     def bank(r, label):
-        nonlocal banked
         detail[label] = r
         if "error" in r or not certified(r) or not r.get("iters_per_s"):
             return False
@@ -288,74 +378,88 @@ def main():
         if key not in cpu_refs:
             cpu_refs[key] = Run(r["kind"], r["size"], CPU_TIMEOUT_S,
                                 platform="cpu")
-        banked = r
+        certified_runs[label] = r
         return True
+
+    def ladder(kind, size, timeout, label, rungs):
+        """Retry ladder: first certifying rung wins the size."""
+        for suffix, fdtype, pallas in rungs:
+            if remaining() < 240:
+                return False
+            if bank(run_sync(kind, size, timeout, fdtype=fdtype,
+                             pallas=pallas), f"{label}_{suffix}"):
+                return True
+        return False
 
     # Stage A -- bank the cheapest certifiable config, f64-only step set
     # (half the remote-compile inventory of ir32).
     bank(run_sync("quad", 200, BANK_TIMEOUT_S), "quad200_f64")
 
-    # Stage B -- the headline size.  ir32 first; on ANY failure (error,
-    # timeout, or uncertified) retry the same size in f64 before giving up.
-    if remaining() > 240:
-        ok = bank(run_sync("quad", 1000, QUAD_TIMEOUT_S, fdtype="ir32"),
-                  "quad1000_ir32")
-        if not ok and remaining() > 240:
-            bank(run_sync("quad", 1000, QUAD_TIMEOUT_S), "quad1000_f64")
+    # Stage B -- the headline size.  ir32 (Pallas-routed) first; on ANY
+    # failure retry ir32 with the Pallas kernel disabled (the fastest
+    # previously-certified config, VERDICT r3 weak #4), then f64.
+    ladder("quad", 1000, QUAD_TIMEOUT_S, "quad1000",
+           [("ir32", "ir32", None),
+            ("ir32_nopallas", "ir32", "0"),
+            ("f64", "float64", None)])
 
     # Stage A' -- cascade insurance if nothing banked yet
-    if banked is None and remaining() > 180:
+    if not certified_runs and remaining() > 180:
         bank(run_sync("hovercraft", 201, BANK_TIMEOUT_S), "hovercraft201_f64")
 
-    # Stage C -- reference-scale attempt; a certified quad-4000 PROMOTES to
-    # the primary metric: this is the size regime where the batched-BCR
-    # factorization on the MXU overtakes the host path (the CPU reference
-    # runs concurrently and lands in vs_baseline), so the headline is
-    # reported at the largest certified scale.
-    if banked is not None and banked["size"] >= 1000 and remaining() > 420:
-        bank(run_sync("quad", 4000, BIG_TIMEOUT_S, fdtype="ir32"),
-             "quad4000_ir32")
+    # Stage C -- reference-scale attempt (reference sweeps quadrotor to
+    # 16k, run_cases_cpu.jl:103-105); same retry ladder so one crashing
+    # configuration does not forfeit the scale story (VERDICT r3 item 4).
+    if certified_runs and remaining() > 420:
+        ladder("quad", 4000, BIG_TIMEOUT_S, "quad4000",
+               [("ir32", "ir32", None),
+                ("ir32_nopallas", "ir32", "0"),
+                ("f64", "float64", None)])
 
-    if RUN_OPF and remaining() > 240:
-        detail["opf1000"] = run_sync("opf", 1000, OPF_TIMEOUT_S,
-                                     fdtype="ir32")
+    # Stage D -- stochastic AC-OPF on the scenario-sharded KKT (reference
+    # GPU sweep parity, run_cases_gpu.jl:90-92); budget-gated.
+    if RUN_OPF and certified_runs and remaining() > 300:
+        bank(run_sync("opf", 1000, OPF_TIMEOUT_S, fdtype="ir32"),
+             "opf1000_ir32")
 
-    if banked is None:
+    if not certified_runs:
         # nothing certified: surface the best uncertified device rate
         # (explicitly flagged) rather than a bare zero
         cand = [r for r in detail.values()
                 if isinstance(r, dict) and r.get("iters_per_s")]
         if cand:
             best = max(cand, key=lambda r: r["iters_per_s"])
-            print(json.dumps({
-                "metric": f"{best['kind']}{best['size']}"
-                          "_ipm_iterations_per_s_UNCERTIFIED",
-                "value": best["iters_per_s"],
-                "unit": "iter/s",
-                "vs_baseline": 0.0,
-                "detail": {**best, **detail},
-            }))
+            emit_final(f"{best['kind']}{best['size']}"
+                       "_ipm_iterations_per_s_UNCERTIFIED",
+                       best["iters_per_s"], 0.0, detail)
         else:
-            err = next((r.get("error") for r in detail.values()
-                        if isinstance(r, dict) and "error" in r), "none")
-            print(json.dumps({
-                "metric": "ipm_iterations_per_s", "value": 0.0,
-                "unit": "iter/s", "vs_baseline": 0.0,
-                "detail": {"error": err, **detail}}))
+            emit_final("ipm_iterations_per_s", 0.0, 0.0, detail)
         return
 
-    cpu = cpu_refs[(banked["kind"], banked["size"])].wait()
-    detail["cpu_reference"] = cpu
-    v = banked["iters_per_s"]
-    vs = round(v / cpu["iters_per_s"], 3) if cpu.get("iters_per_s") else 0.0
-    print(json.dumps({
-        "metric": f"{banked['kind']}{banked['size']}"
-                  f"_ipm_iterations_per_s",
-        "value": v,
-        "unit": "iter/s",
-        "vs_baseline": vs,
-        "detail": {**banked, **detail},
-    }))
+    # join the CPU references and attach per-size ratios
+    cpu_rates = {}
+    for key, run in cpu_refs.items():
+        cpu = run.wait()
+        detail[f"cpu_{key[0]}{key[1]}"] = cpu
+        if certified(cpu) and cpu.get("iters_per_s"):
+            cpu_rates[key] = cpu["iters_per_s"]
+    metrics = {}
+    for label, r in certified_runs.items():
+        ref = cpu_rates.get((r["kind"], r["size"]))
+        r["vs_baseline"] = round(r["iters_per_s"] / ref, 3) if ref else 0.0
+        metrics[label] = {"value": r["iters_per_s"],
+                          "vs_baseline": r["vs_baseline"]}
+    detail["metrics"] = metrics
+
+    # headline: best vs_baseline among certified device runs (ties ->
+    # larger problem); never bury a winning ratio under a losing one
+    # at a bigger size (VERDICT r3 item 8)
+    best_label = max(certified_runs,
+                     key=lambda k: (certified_runs[k]["vs_baseline"],
+                                    certified_runs[k]["size"]))
+    best = certified_runs[best_label]
+    emit_final(f"{best['kind']}{best['size']}_ipm_iterations_per_s",
+               best["iters_per_s"], best["vs_baseline"], detail)
 
 
 if __name__ == "__main__":

@@ -58,11 +58,12 @@ def _chol_linv(D):
     L^{-1}.  Applying D^{-1} is then two batched matmuls:
     D^{-1} b = L^{-T} (L^{-1} b).
 
-    On the f32 (ir32/mixed) step sets running on a real TPU this routes
-    through the fused Pallas kernel (solvers/pallas_chol.py) -- one
-    VMEM-resident pass per block chunk instead of XLA's separate blocked
-    cholesky + triangular-solve routines; the emulated-f64 path and host
-    CPU stay on XLA (kill switch: IXM_PALLAS=0)."""
+    With ``IXM_PALLAS=1`` the f32 path routes through the fused Pallas
+    kernel (solvers/pallas_chol.py) -- one VMEM-resident pass per block
+    chunk instead of XLA's separate blocked cholesky + triangular-solve
+    routines.  Opt-in only: this machine's Mosaic toolchain rejects the
+    kernel's rank-3 blocks (see pallas_chol.pallas_chol_enabled), so the
+    default keeps f32, emulated-f64, and host CPU all on XLA."""
     from .pallas_chol import (chol_linv_pallas, pallas_chol_enabled,
                               pallas_interpret_needed)
 
@@ -76,12 +77,13 @@ def _chol_linv(D):
 
 
 def _lsolve(L, Linv, X):
-    """W = L^{-1} X for the Gram-form factor updates.  The f64 path keeps
-    the backward-stable batched triangular solve; the f32-on-TPU path
-    multiplies by the Pallas kernel's explicit inverse instead (pure
-    batched matmuls on the MXU -- the Gram structure ``-W^T W`` of the
-    downstream updates is preserved either way, and the IPM's f64
-    refinement owns final accuracy)."""
+    """W = L^{-1} X for the Gram-form factor updates.  The default path
+    keeps the backward-stable batched triangular solve; under
+    ``IXM_PALLAS=1`` the f32 path multiplies by the Pallas kernel's
+    explicit inverse instead (pure batched matmuls on the MXU -- the Gram
+    structure ``-W^T W`` of the downstream updates is preserved either
+    way, and only the ir32 step set refines against the exact f64
+    operator, so explicit-inverse error there is fully recoverable)."""
     from .pallas_chol import pallas_chol_enabled
 
     if pallas_chol_enabled(L.dtype):

@@ -43,8 +43,6 @@ def _chol_inv_kernel(a_ref, l_ref, linv_ref):
     col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
 
     def chol_step(j, M):
-        # x64 mode makes the induction variable i64; Mosaic wants i32
-        j = j.astype(jnp.int32)
         # pivot d = sqrt(M[j, j]) via masked reduction (no dynamic slice;
         # one axis at a time -- multi-axis reduces crash the Mosaic
         # toolchain behind the remote-compile tunnel)
@@ -62,7 +60,12 @@ def _chol_inv_kernel(a_ref, l_ref, linv_ref):
         # store the finished column j
         return jnp.where(col == j, colv[:, :, None], M)
 
-    M = jax.lax.fori_loop(0, n, chol_step, M)
+    # i32 loop bounds: under x64 a plain fori_loop(0, n, ...) carries an
+    # i64 induction variable, and Mosaic's convert_element_type rule
+    # infinitely recurses on i64->i32 (its _convert_helper re-emits the
+    # same cast) -- the round-3 on-device RecursionError.  Keeping the
+    # bounds i32 keeps every index op 32-bit end to end.
+    M = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), chol_step, M)
     L = jnp.where(row >= col, M, 0.0)
     l_ref[:] = L
 
@@ -70,7 +73,6 @@ def _chol_inv_kernel(a_ref, l_ref, linv_ref):
     k_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)     # (1, n)
 
     def inv_step(i, X):
-        i = i.astype(jnp.int32)
         # row i of L with the diagonal removed: only k < i entries remain
         lrow = jnp.sum(jnp.where(row == i, L, 0.0), axis=1)    # (G, n)
         lrow = jnp.where(k_ids == i, 0.0, lrow)
@@ -80,7 +82,7 @@ def _chol_inv_kernel(a_ref, l_ref, linv_ref):
         xrow = (e - s) / di[:, None]
         return jnp.where(row == i, xrow[:, None, :], X)
 
-    X = jax.lax.fori_loop(0, n, inv_step,
+    X = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), inv_step,
                           jnp.zeros((G, n, n), M.dtype))
     linv_ref[:] = X
 
@@ -133,23 +135,25 @@ def chol_linv_pallas(D, interpret=False):
 # ----------------------------------------------------------------------
 # dispatch policy
 # ----------------------------------------------------------------------
-_ENV = os.environ.get("IXM_PALLAS", "auto")
-
-
 def pallas_chol_enabled(dtype) -> bool:
-    """True when ``_chol_linv`` should route through the Pallas kernel:
-    f32 blocks on a real TPU backend (the emulated-f64 path and host CPU
-    stay on XLA).  ``IXM_PALLAS=0`` is the kill switch; ``IXM_PALLAS=1``
-    forces the kernel (interpreted on CPU -- tests only, it is slow)."""
-    if _ENV == "0" or jnp.dtype(dtype) != jnp.float32:
+    """True when ``_chol_linv`` should route through the Pallas kernel.
+
+    Default (``IXM_PALLAS=auto``) is OFF everywhere: the kernel uses
+    rank-3 ``(G, n, n)`` VMEM blocks, and the Mosaic toolchain behind this
+    machine's remote-compile tunnel rejects ALL rank-3 blocks ("failed to
+    legalize operation 'func.return'" -- measured round 4: even a rank-3
+    copy kernel fails, while rank-2 kernels compile and run).  Routing the
+    device path through it unvalidated is what broke the round-3 ir32
+    headline (ADVICE r3 item 1), so the kernel stays opt-in until a
+    compiled on-device smoke run (benchmarks/pallas_smoke.py) passes.
+    ``IXM_PALLAS=1`` forces it (interpret mode on CPU -- tests);
+    ``IXM_PALLAS=0`` is the explicit kill switch.  The env var is read at
+    every call (trace-time, cheap) so the switch works even after the
+    solver stack is imported."""
+    env = os.environ.get("IXM_PALLAS", "auto")
+    if env == "0" or jnp.dtype(dtype) != jnp.float32:
         return False
-    if _ENV == "1":
-        return True
-    try:
-        plat = jax.devices()[0].platform
-    except Exception:
-        return False
-    return plat not in ("cpu", "gpu")
+    return env == "1"
 
 
 def pallas_interpret_needed() -> bool:

@@ -1,13 +1,18 @@
 """Pallas fused batched Cholesky + L^{-1} kernel (solvers/pallas_chol.py).
 
-Runs in interpret mode on the CPU test mesh; on-chip behavior is covered by
-the bench (factor_dtype=float32/ir32 routes _chol_linv through the kernel).
+Runs in interpret mode on the CPU test mesh.  The kernel is OPT-IN
+(IXM_PALLAS=1): the device toolchain behind this machine's remote-compile
+tunnel rejects rank-3 Pallas blocks outright, so the default device path
+stays on XLA (see pallas_chol_enabled); these tests cover the kernel's
+numerics, the dispatch layer, and -- at bench-real block sizes -- the
+_bcr_factor integration the round-3 small-size tests missed.
 """
 import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from infiniteexamodels_jl_tpu.solvers.pallas_chol import chol_linv_pallas
+from infiniteexamodels_jl_tpu.solvers.pallas_chol import (
+    chol_linv_pallas, pallas_chol_enabled)
 
 
 def _spd_batch(nb, n, seed=0):
@@ -44,3 +49,66 @@ def test_padding_chunks():
     D = _spd_batch(9, 8, seed=2)
     L, Linv, ok = chol_linv_pallas(jnp.asarray(D), interpret=True)
     assert bool(ok) and L.shape == (9, 8, 8) and Linv.shape == (9, 8, 8)
+
+
+# ----------------------------------------------------------------------
+# dispatch layer (ADVICE r3 item 2: round 3 only ever called the kernel
+# directly; the _chol_linv/_lsolve/_bcr_factor routing shipped untested)
+# ----------------------------------------------------------------------
+def test_dispatch_env_gating(monkeypatch):
+    monkeypatch.setenv("IXM_PALLAS", "0")
+    assert not pallas_chol_enabled(jnp.float32)
+    monkeypatch.setenv("IXM_PALLAS", "1")
+    assert pallas_chol_enabled(jnp.float32)
+    assert not pallas_chol_enabled(jnp.float64)   # kernel is f32-only
+    # default is OFF everywhere until an on-device smoke validates the
+    # toolchain (the tunnel Mosaic rejects rank-3 blocks)
+    monkeypatch.delenv("IXM_PALLAS", raising=False)
+    assert not pallas_chol_enabled(jnp.float32)
+
+
+def test_chol_linv_routing_matches_xla(monkeypatch):
+    from infiniteexamodels_jl_tpu.solvers.block_tridiag import (
+        _chol_linv, _lsolve)
+
+    D = jnp.asarray(_spd_batch(5, 16, seed=3))
+    monkeypatch.setenv("IXM_PALLAS", "0")
+    L0, Li0, ok0 = _chol_linv(D)
+    X = jnp.asarray(np.random.default_rng(4).standard_normal(
+        (5, 16, 3)).astype(np.float32))
+    W0 = _lsolve(L0, Li0, X)
+    monkeypatch.setenv("IXM_PALLAS", "1")
+    L1, Li1, ok1 = _chol_linv(D)
+    W1 = _lsolve(L1, Li1, X)
+    assert bool(ok0) and bool(ok1)
+    np.testing.assert_allclose(np.asarray(L1), np.asarray(L0),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(W1), np.asarray(W0),
+                               rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_bcr_factor_bench_scale(monkeypatch):
+    """_bcr_factor through the Pallas routing at the REAL quad-1000 block
+    geometry (bs=64; nb scaled down from 640 to keep interpret-mode time
+    sane but with multiple BCR levels and multiple kernel chunks)."""
+    from infiniteexamodels_jl_tpu.solvers.block_tridiag import (
+        _bcr_factor, _bcr_solve)
+
+    nb, bs = 48, 64
+    rng = np.random.default_rng(5)
+    D = jnp.asarray(_spd_batch(nb, bs, seed=5) + 3 * bs * np.eye(
+        bs, dtype=np.float32))
+    E = jnp.asarray(0.1 * rng.standard_normal(
+        (nb - 1, bs, bs)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((nb, bs)).astype(np.float32))
+
+    monkeypatch.setenv("IXM_PALLAS", "0")
+    lv0, r0, ok0 = _bcr_factor(D, E)
+    x0 = _bcr_solve(lv0, r0, b)
+    monkeypatch.setenv("IXM_PALLAS", "1")
+    lv1, r1, ok1 = _bcr_factor(D, E)
+    x1 = _bcr_solve(lv1, r1, b)
+    assert bool(ok0) and bool(ok1)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x0),
+                               rtol=5e-3, atol=5e-4)
