@@ -161,6 +161,10 @@ def child(kind, size, platform, fdtype):
                     objective=float(res2.objective),
                     resolve_s=round(resolve_s, 2),
                     iters_per_s=round(max(res2.iter, 1) / resolve_s, 3))
+        # bank the clean warm rate BEFORE the profiling pass below: the
+        # profiler jits each phase separately (fresh tunnel compiles), and
+        # a timeout there must not lose the resolve measurement
+        _emit(progress, {**base, "milestone": "resolved"})
     phases = None
     if platform != "cpu" and os.environ.get("IXM_BENCH_PROFILE", "0") != "0":
         try:

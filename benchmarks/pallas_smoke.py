@@ -54,27 +54,35 @@ def main():
         rng = np.random.default_rng(0)
         A = rng.standard_normal((nb, n, n)).astype(np.float32)
         D = jnp.asarray(A @ A.transpose(0, 2, 1) + n * np.eye(n, dtype=np.float32))
-        t0 = time.time()
-        tp, (Lp, Lip) = timeit(pk, D)
-        compile_p = time.time() - t0
+        rec = {"nb": nb, "n": n}
         t0 = time.time()
         tx, (Lx, Lix) = timeit(xk, D)
-        compile_x = time.time() - t0
-        # accuracy vs the XLA factors and vs reconstruction
-        errL = float(jnp.max(jnp.abs(Lp - Lx)))
-        rec = jnp.einsum("kij,kjl->kil", Lp, jnp.swapaxes(Lp, -1, -2))
-        errR = float(jnp.max(jnp.abs(rec - D)) / jnp.max(jnp.abs(D)))
-        errI = float(jnp.max(jnp.abs(
-            jnp.einsum("kij,kjl->kil", Lip, Lx)
-            - jnp.eye(n, dtype=jnp.float32))))
-        print(json.dumps({
-            "nb": nb, "n": n,
-            "pallas_ms": round(tp * 1e3, 3), "xla_ms": round(tx * 1e3, 3),
-            "speedup": round(tx / tp, 2),
-            "errL": errL, "rel_reconstruction": errR, "inv_err": errI,
-            "compile_pallas_s": round(compile_p, 1),
-            "compile_xla_s": round(compile_x, 1),
-        }), flush=True)
+        rec["xla_ms"] = round(tx * 1e3, 3)
+        rec["compile_xla_s"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        try:
+            tp, (Lp, Lip) = timeit(pk, D)
+        except Exception as e:
+            # round-4 measured state of this machine's tunnel: Mosaic
+            # rejects ALL rank-3 Pallas blocks ("failed to legalize
+            # operation 'func.return'"), so the kernel cannot pass the
+            # gate and IXM_PALLAS stays opt-in
+            rec["pallas_error"] = " ".join(str(e).split())[:200]
+            print(json.dumps(rec), flush=True)
+            continue
+        rec.update(
+            pallas_ms=round(tp * 1e3, 3),
+            speedup=round(tx / tp, 2),
+            compile_pallas_s=round(time.time() - t0, 1),
+            errL=float(jnp.max(jnp.abs(Lp - Lx))),
+            rel_reconstruction=float(jnp.max(jnp.abs(
+                jnp.einsum("kij,kjl->kil", Lp, jnp.swapaxes(Lp, -1, -2))
+                - D)) / jnp.max(jnp.abs(D))),
+            inv_err=float(jnp.max(jnp.abs(
+                jnp.einsum("kij,kjl->kil", Lip, Lx)
+                - jnp.eye(n, dtype=jnp.float32)))),
+        )
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

@@ -5,7 +5,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..modeling import InfiniteModel, uniform, integral, deriv
+from ..modeling import (InfiniteModel, uniform, integral, expect,
+                        support_sum, deriv)
 
 _GAMMA, _BETA, _N = 0.303, 0.727, 1e5
 
@@ -62,7 +63,8 @@ def seir_rollout(ts, xis, u_traj):
 
 
 def pandemic(seed=0, num_supports=100, num_scenarios=4, backend=None,
-             dmethod=None, u_start=None):
+             dmethod=None, u_start=None, elastic_rho=None,
+             elastic_penalty="support_sum"):
     """SEIR control model.  ``u_start`` engages a dynamics-feasible
     warmstart: a scalar, callable u(t), or per-support array of control
     values; the states (and derivative variables) start from the
@@ -70,7 +72,26 @@ def pandemic(seed=0, num_supports=100, num_scenarios=4, backend=None,
     solve's optimal control for progressive scenario refinement -- the
     large (100,128) reference config certifies in tens of iterations from
     the (100,8) control instead of crawling the singular arc for 1000+
-    (see tests/test_models.py::test_pandemic_progressive_128)."""
+    (see tests/test_models.py::test_pandemic_progressive_128).
+
+    ``elastic_rho`` engages the L1-elastic reformulation of the
+    infection-cap path constraint: ``i <= 0.02`` becomes
+    ``i - v <= 0.02`` with a slack ``v(t, xi) >= 0`` penalized in the
+    objective.  The cap constraint is a high-order state constraint whose
+    discretization violates LICQ on the singular arc (unbounded multiplier
+    ray -- the reference's large pandemic configs,
+    run_cases_cpu.jl:108-110, inherit the same geometry); each elastic
+    row's multiplier is bounded by construction through v's stationarity
+    (0 <= lambda_k <= per-point penalty weight), so the IPM dual endgame
+    cannot ride the ray.  ``elastic_penalty`` picks the weight geometry:
+    "support_sum" (default) charges ``rho`` per support point, making the
+    multiplier cap exactly ``rho`` and independent of grid size or
+    scenario count; "expect_integral" charges
+    ``rho * E_xi[integral(v, t)]`` (caps scale as rho*w_k/n_xi -- the
+    measure-consistent form, but the cap shrinks with scenario count).
+    An exact-penalty rho (above the minimal multiplier norm) recovers the
+    original solution; on the degenerate arc it yields the L1-closest
+    relaxation."""
     gamma, beta, N = _GAMMA, _BETA, _N
     extra_ts = [0.001, 0.002, 0.004, 0.008, 0.02, 0.04, 0.08, 0.2, 0.4, 0.8]
 
@@ -88,7 +109,17 @@ def pandemic(seed=0, num_supports=100, num_scenarios=4, backend=None,
     i = m.variable("i", deps=(t, xi), lb=0)
     r = m.variable("r", deps=(t, xi), lb=0)
     u = m.variable("u", deps=(t,), lb=0, ub=0.8, start=0.2)
-    m.minimize(integral(u, t))
+    if elastic_rho is not None:
+        v = m.variable("v_imax", deps=(t, xi), lb=0, start=0.0)
+        if elastic_penalty == "support_sum":
+            pen = elastic_rho * support_sum(support_sum(v, t), xi)
+        elif elastic_penalty == "expect_integral":
+            pen = elastic_rho * expect(integral(v, t), xi)
+        else:
+            raise ValueError(f"unknown elastic_penalty {elastic_penalty!r}")
+        m.minimize(integral(u, t) + pen)
+    else:
+        m.minimize(integral(u, t))
     m.constraint(s(0, xi) == 1 - 1 / N)
     m.constraint(e(0, xi) == 1 / N)
     m.constraint(i(0, xi) == 0)
@@ -98,7 +129,10 @@ def pandemic(seed=0, num_supports=100, num_scenarios=4, backend=None,
                  name="e_constr")
     m.constraint(deriv(i, t) == xi * e - gamma * i, name="i_constr")
     m.constraint(deriv(r, t) == gamma * i, name="r_constr")
-    m.constraint(i <= 0.02, name="imax_constr")
+    if elastic_rho is not None:
+        m.constraint(i - v <= 0.02, name="imax_constr")
+    else:
+        m.constraint(i <= 0.02, name="imax_constr")
 
     if u_start is not None:
         ts = np.asarray(t.group.supports(), float)

@@ -114,6 +114,7 @@ def _low_precision_case(build, fdtype, **approx_kw):
     assert r.objective == pytest.approx(r64.objective, **approx_kw)
 
 
+@pytest.mark.slow
 def test_mixed_precision_quad():
     from infiniteexamodels_jl_tpu.models import quad
 
@@ -124,6 +125,7 @@ def test_mixed_precision_farmer():
     _low_precision_case(lambda: farmer(num_scenarios=32), "mixed", rel=1e-9)
 
 
+@pytest.mark.slow
 def test_float32_demotion_quad():
     from infiniteexamodels_jl_tpu.models import quad
 
@@ -140,6 +142,7 @@ def test_float32_demotion_farmer():
 # factor-low/refine-high IR without materializing an f64 K) -- f64-quality
 # steps, so it must certify at tol=1e-8 without ever demoting on these
 # well-conditioned problems.
+@pytest.mark.slow
 def test_ir32_quad():
     from infiniteexamodels_jl_tpu.models import quad
     from infiniteexamodels_jl_tpu.solvers.ipm import IpmSolver as S

@@ -191,6 +191,7 @@ def test_restoration_disabled_falls_back_to_stalled():
                            "acceptable")
 
 
+@pytest.mark.slow
 def test_second_order_correction():
     """SOC (Ipopt A-5.7..5.9 role): a rejected full step with growing
     infeasibility triggers one extra solve of the already-factorized KKT

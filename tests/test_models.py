@@ -72,6 +72,7 @@ def test_quadrotor_small():
         assert np.asarray(m.value(v))[0] == pytest.approx(0.0, abs=1e-6)
 
 
+@pytest.mark.slow
 def test_pandemic():
     """The SEIR cap constraint is a high-order state constraint: the
     discretized NLP is degenerate (large multipliers on the singular arc).
@@ -106,6 +107,35 @@ def test_pandemic():
     assert np.all(uv >= -1e-6) and np.all(uv <= 0.8 + 1e-6)
 
 
+def test_pandemic_elastic_cap():
+    """L1-elastic reformulation of the infection cap (i - v <= 0.02,
+    v >= 0 penalized rho per support point).  The per-point penalty
+    bounds each cap row's multiplier by rho through v's stationarity, so
+    the degenerate dual ray of the plain formulation is excluded by
+    construction: at (51,4) the plain problem needs 701 iterations to
+    certify while the elastic one certifies first_order in ~180, with
+    v -> 0 (the cap holds exactly) and the objective within the
+    flat-valley width of the plain oracle."""
+    m = pandemic(num_supports=51, num_scenarios=4, elastic_rho=500.0)
+    m.set_transformation_backend(
+        ExaTranscriptionBackend(IpmSolver, linear_solver="auto", tol=1e-6))
+    m.set_silent()
+    m.set_attribute("max_iter", 400)
+    res = m.optimize()
+    assert res.status == "first_order"
+    assert res.iter < 400
+    v = next(vv for vv in m.infinite_vars if vv.name == "v_imax")
+    assert np.max(np.asarray(m.value(v))) <= 1e-6     # cap not relaxed
+    i_var = next(vv for vv in m.infinite_vars if vv.name == "i")
+    assert np.all(np.asarray(m.value(i_var)) <= 0.02 + 1e-5)
+    # rho=500 caps the multipliers below the plain problem's peak (~335
+    # measured at the oracle point is admissible; the arc tail is not),
+    # so the certified point sits on the degenerate valley floor within
+    # ~4e-3 of the plain oracle
+    assert m.objective_value() == pytest.approx(ORACLES["pandemic51x4"],
+                                                abs=5e-3)
+
+
 def test_pandemic_rollout_start_feasible():
     """``u_start`` engages the backward-Euler SEIR rollout warmstart: the
     transcribed initial point satisfies every EQUALITY row -- the
@@ -130,6 +160,7 @@ def test_pandemic_rollout_start_feasible():
                                np.asarray(model.x0), rtol=0, atol=0)
 
 
+@pytest.mark.slow
 def test_pandemic_limit_cycle_escape():
     """At the reference's larger pandemic sweep sizes ((100,8)/(100,128),
     ESCAPE34/run_cases_cpu.jl:108-110) the degenerate dual ray produces an
@@ -232,6 +263,7 @@ def test_design_3node():
         ORACLES["design3node200"], abs=1e-6)
 
 
+@pytest.mark.slow
 def test_opf_stochastic():
     m = attach(opf(num_supports=10))
     res = m.optimize()

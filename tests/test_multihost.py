@@ -26,6 +26,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.slow
 def test_two_process_mesh_solve():
     port = _free_port()
     env = {k: v for k, v in os.environ.items()

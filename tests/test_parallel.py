@@ -31,6 +31,7 @@ def test_sharded_evals_match_replicated():
                                ref_cons, rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_sharded_ipm_steps_match():
     """IPM iterations over a sharded model match the single-device
     trajectory bit-for-bit-ish (scenario-parallel data distribution).
@@ -63,6 +64,7 @@ def test_sharded_ipm_steps_match():
                                rtol=1e-8, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_pad_and_shard_full_fraction():
     """Row padding removes the n % n_devices == 0 restriction: families
     with awkward row counts (hovercraft's 101 supports) still shard 100%,
@@ -99,6 +101,7 @@ def test_pad_and_shard_full_fraction():
         rtol=1e-10, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_mesh_distributed_factorization_solve():
     """End-to-end: backend built with a mesh pads+shards the model, the
     block-diagonal scenario factorization carries mesh sharding
@@ -360,6 +363,7 @@ def test_band_shard_kkt_matches_replicated():
         np.asarray(jax.jit(ref.solve)(f0, rhs)), rtol=1e-8, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_band_shard_ipm_solve_matches():
     """Full IPM solve through the band-segment KKT on the 8-device mesh
     matches the single-device objective (quadrotor, tol 1e-8)."""

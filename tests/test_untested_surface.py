@@ -126,6 +126,7 @@ def test_checkpoint_without_log_fields_loads(tmp_path):
     assert res.status == "first_order"
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_mid_regularization(tmp_path):
     """Checkpoint taken while the solver is actively regularizing
     (delta_w_last > 0 in the saved state) resumes to the same optimum."""
