@@ -66,9 +66,16 @@ def _chol_linv(D):
     default keeps f32, emulated-f64, and host CPU all on XLA."""
     from .pallas_chol import (chol_linv_pallas, pallas_chol_enabled,
                               pallas_interpret_needed)
+    from .blocked_chol import blocked_chol_linv, blocked_chol_enabled
 
     if pallas_chol_enabled(D.dtype):
         return chol_linv_pallas(D, interpret=pallas_interpret_needed())
+    if blocked_chol_enabled(D.dtype) and D.shape[-1] > 8:
+        # f64 on TPU: XLA's unblocked f64 cholesky/trisolve are the
+        # measured factor bottleneck (439+225 ms at quad-1000); the
+        # blocked form is batched-matmul-dominated (solvers/blocked_chol)
+        L, Linv = blocked_chol_linv(D)
+        return L, Linv, jnp.all(jnp.isfinite(Linv))
     L = jnp.linalg.cholesky(D)
     eye = jnp.eye(D.shape[-1], dtype=D.dtype)
     Linv = jsl.solve_triangular(L, jnp.broadcast_to(eye, D.shape),
@@ -77,16 +84,17 @@ def _chol_linv(D):
 
 
 def _lsolve(L, Linv, X):
-    """W = L^{-1} X for the Gram-form factor updates.  The default path
-    keeps the backward-stable batched triangular solve; under
-    ``IXM_PALLAS=1`` the f32 path multiplies by the Pallas kernel's
-    explicit inverse instead (pure batched matmuls on the MXU -- the Gram
-    structure ``-W^T W`` of the downstream updates is preserved either
-    way, and only the ir32 step set refines against the exact f64
-    operator, so explicit-inverse error there is fully recoverable)."""
+    """W = L^{-1} X for the Gram-form factor updates.  On CPU/GPU this is
+    the backward-stable batched triangular solve; on TPU the f64 trisolve
+    is the measured bottleneck (225 ms at quad-1000 vs 14 ms for the
+    equivalent matmul), so the blocked-f64 and (opt-in) Pallas-f32 paths
+    multiply by the explicit inverse instead.  The Gram structure
+    ``-W^T W`` of the downstream updates is preserved either way, and the
+    IPM's residual-checked refinement owns final accuracy."""
     from .pallas_chol import pallas_chol_enabled
+    from .blocked_chol import blocked_chol_enabled
 
-    if pallas_chol_enabled(L.dtype):
+    if pallas_chol_enabled(L.dtype) or blocked_chol_enabled(L.dtype):
         return jnp.einsum("kij,kjl->kil", Linv, X)
     return jsl.solve_triangular(L, X, lower=True)
 

@@ -381,14 +381,14 @@ class IpmSolver:
                     _kkt_tables(kkt, c.get("kkt")):
                 return self._step(st, c, kkt)
 
-        def initw(x0, y0, c):
+        def initw(x0, y0, c, zl0=None, zu0=None):
             with self.model.bound_tables(c.get("fam"), c.get("jac_rows"),
                                          c.get("jac_cols")):
-                return self._init_state(x0, y0, c)
+                return self._init_state(x0, y0, c, zl0, zu0)
 
         self._step_jit = jax.jit(
             lambda st, c: stepw(st, c, self.kkt), donate_argnums=(0,))
-        self._init_jit = jax.jit(initw)
+        self._init_jit = jax.jit(initw, static_argnames=())
         self._consts_jit = jax.jit(self._make_consts)
         self._restore_jit = None     # compiled lazily on first breakdown
         self._stepw = stepw
@@ -518,7 +518,7 @@ class IpmSolver:
     # ------------------------------------------------------------------
     # initialization
     # ------------------------------------------------------------------
-    def _init_state(self, x0, y0, consts):
+    def _init_state(self, x0, y0, consts, zl0=None, zu0=None):
         m = self.model
         o = self.opts
         dt = m.dtype
@@ -546,8 +546,16 @@ class IpmSolver:
         c0 = self._ceval(x, consts)
         s = push_inside(c0, lz[n:], uz[n:], has_l[n:], has_u[n:])
         z = jnp.concatenate([x, s])
-        zl = jnp.where(has_l, 1.0, 0.0).astype(dt)
-        zu = jnp.where(has_u, 1.0, 0.0).astype(dt)
+        # warm bound duals (Ipopt warm_start_init_point role): clipped to
+        # a strictly interior band so complementarity products stay sane
+        if zl0 is None:
+            zl = jnp.where(has_l, 1.0, 0.0).astype(dt)
+        else:
+            zl = jnp.where(has_l, jnp.clip(zl0.astype(dt), 1e-8, 1e10), 0.0)
+        if zu0 is None:
+            zu = jnp.where(has_u, 1.0, 0.0).astype(dt)
+        else:
+            zu = jnp.where(has_u, jnp.clip(zu0.astype(dt), 1e-8, 1e10), 0.0)
         theta0 = jnp.sum(jnp.abs(c0 - s))
         # scale-aware automatic initial barrier: far-infeasible starts need
         # a hot barrier or fraction-to-boundary crawls (observed 527 -> 41
@@ -1654,6 +1662,7 @@ class IpmSolver:
     # ------------------------------------------------------------------
     def solve(self, x0=None, y0=None, stats=None, resume_from=None,
               checkpoint_path=None, checkpoint_every=0, trace_dir=None,
+              zl0=None, zu0=None,
               **options):
         """Run the IPM.  With ``trace_dir`` set, the whole solve is
         captured as a jax profiler trace (XLA op-level timeline viewable
@@ -1663,14 +1672,15 @@ class IpmSolver:
         if trace_dir is None:
             return self._solve_impl(x0, y0, stats, resume_from,
                                     checkpoint_path, checkpoint_every,
-                                    **options)
+                                    zl0=zl0, zu0=zu0, **options)
         with jax.profiler.trace(str(trace_dir)):
             return self._solve_impl(x0, y0, stats, resume_from,
                                     checkpoint_path, checkpoint_every,
-                                    **options)
+                                    zl0=zl0, zu0=zu0, **options)
 
     def _solve_impl(self, x0=None, y0=None, stats=None, resume_from=None,
-                    checkpoint_path=None, checkpoint_every=0, **options):
+                    checkpoint_path=None, checkpoint_every=0,
+                    zl0=None, zu0=None, **options):
         if options:
             self.set_options(**options)
         o = self.opts
@@ -1691,6 +1701,19 @@ class IpmSolver:
         y0s = y0 * m.sense * consts["sf"] / consts["sc"]
         if resume_from is not None:
             st = self.load_checkpoint(resume_from)
+        elif zl0 is not None or zu0 is not None:
+            # warm bound duals (Ipopt warm_start_init_point role).
+            # ``zl0``/``zu0`` are user-scale VARIABLE bound duals (length
+            # nvar); the slack halves are recovered from y0 through the
+            # s-row stationarity y = zu_s - zl_s of this solver's KKT.
+            def full(z_var, y_part):
+                zv = (jnp.zeros(m.nvar, m.dtype) if z_var is None
+                      else jnp.asarray(z_var, m.dtype) * consts["sf"]
+                      * m.sense)
+                return jnp.concatenate([zv, y_part])
+            zl_full = full(zl0, jnp.maximum(-y0s, 0.0))
+            zu_full = full(zu0, jnp.maximum(y0s, 0.0))
+            st = self._init_jit(x0, y0s, consts, zl_full, zu_full)
         else:
             st = self._init_jit(x0, y0s, consts)
         # first_chunk isolates the first jitted dispatch (compile +
