@@ -119,6 +119,13 @@ def child(kind, size, platform, fdtype):
     t0 = time.time()
     m = build()
     opts = {} if fdtype == "float64" else {"factor_dtype": fdtype}
+    if fdtype == "ir32":
+        # barrier handover to the (blocked-factor) f64 endgame once the
+        # f32 factorization passes its viability wall -- measured on
+        # quad-1000 this removes a 13-iteration dw-ladder crawl with
+        # inf_du frozen (ipm.py mu_switch_ir option docs)
+        opts["mu_switch_ir"] = float(
+            os.environ.get("IXM_MU_SWITCH_IR", "1e-4"))
     if deadline:
         # non-converging solves must end as max_time (milestone written)
         # just before the parent's kill would hit

@@ -68,11 +68,12 @@ def pandemic(seed=0, num_supports=100, num_scenarios=4, backend=None,
     """SEIR control model.  ``u_start`` engages a dynamics-feasible
     warmstart: a scalar, callable u(t), or per-support array of control
     values; the states (and derivative variables) start from the
-    backward-Euler rollout under that control.  Pass a coarse-scenario
-    solve's optimal control for progressive scenario refinement -- the
-    large (100,128) reference config certifies in tens of iterations from
-    the (100,8) control instead of crawling the singular arc for 1000+
-    (see tests/test_models.py::test_pandemic_progressive_128).
+    backward-Euler rollout under that control.  Passing a coarse-scenario
+    solve's optimal control measurably helps the larger grids (round-4:
+    warm (100,128) elastic reaches obj 34.2 at iteration 1000 vs 58.7
+    cold) but does NOT certify the (100,128) reference config -- the
+    128 coupled singular arcs still crawl; see README known-limits for
+    the measured record of every lever tried.
 
     ``elastic_rho`` engages the L1-elastic reformulation of the
     infection-cap path constraint: ``i <= 0.02`` becomes

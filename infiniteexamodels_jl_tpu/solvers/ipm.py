@@ -296,6 +296,14 @@ DEFAULTS = dict(
     #            plus the same residual-driven demotion as a safety net.
     factor_dtype="float64",
     mu_switch_f32=1e-4,
+    # ir32 barrier handover: below this mu the f32 factorization of the
+    # condensed KKT is typically past its viability wall (lambda_min of
+    # the equilibrated system under n*eps32, so the regularization ladder
+    # needs dw ~ 1e2-1e3 that ruins Newton quality -- measured quad-1000:
+    # iterations 4-17 crawl with inf_du frozen at 0.139 before the
+    # residual demotion fires).  0.0 keeps the pure residual-driven
+    # behavior; set ~1e-4 to hand over to the f64 endgame proactively.
+    mu_switch_ir=0.0,
     linear_solver="dense",   # "dense" | "block_tridiag" | "auto" | "ldl_cpp"
     # feasibility restoration (Ipopt §3.3 role): Levenberg-Marquardt
     # Gauss-Newton descent on the (proximally damped) constraint violation,
@@ -1729,10 +1737,16 @@ class IpmSolver:
         it = 0
         resto_entries = 0
         chunk = 1 if verbose else 32
-        # "float32"/"ir32": no mu-based handover -- the low-precision path
-        # runs until its refinement stops contracting (DEMOTE_F32)
-        mu_switch = (0.0 if o["factor_dtype"] in ("float32", "ir32")
-                     else o["mu_switch_f32"])
+        # "float32": no mu-based handover -- the low-precision path runs
+        # until its refinement stops contracting (DEMOTE_F32).  "ir32"
+        # optionally hands over at mu_switch_ir (see option docs); the
+        # residual-driven demotion stays armed as the safety net.
+        if o["factor_dtype"] == "float32":
+            mu_switch = 0.0
+        elif o["factor_dtype"] == "ir32":
+            mu_switch = o["mu_switch_ir"]
+        else:
+            mu_switch = o["mu_switch_f32"]
         f32_demoted = False
         while it < o["max_iter"]:
             t0 = time.time()
