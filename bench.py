@@ -406,12 +406,13 @@ def main():
     # (half the remote-compile inventory of ir32).
     bank(run_sync("quad", 200, BANK_TIMEOUT_S), "quad200_f64")
 
-    # Stage B -- the headline size.  ir32 (Pallas-routed) first; on ANY
-    # failure retry ir32 with the Pallas kernel disabled (the fastest
-    # previously-certified config, VERDICT r3 weak #4), then f64.
+    # Stage B -- the headline size.  Retry ladder ordered by measured
+    # round-4 warm rates (mixed 1.838 > ir32+mu-switch 1.349 > f64-blocked
+    # 1.52 it/s -- f64 last because it shares its endgame with mixed, so a
+    # mixed failure usually implicates it too).
     ladder("quad", 1000, QUAD_TIMEOUT_S, "quad1000",
-           [("ir32", "ir32", None),
-            ("ir32_nopallas", "ir32", "0"),
+           [("mixed", "mixed", None),
+            ("ir32", "ir32", None),
             ("f64", "float64", None)])
 
     # Stage A' -- cascade insurance if nothing banked yet
@@ -423,15 +424,14 @@ def main():
     # configuration does not forfeit the scale story (VERDICT r3 item 4).
     if certified_runs and remaining() > 420:
         ladder("quad", 4000, BIG_TIMEOUT_S, "quad4000",
-               [("ir32", "ir32", None),
-                ("ir32_nopallas", "ir32", "0"),
+               [("mixed", "mixed", None),
                 ("f64", "float64", None)])
 
     # Stage D -- stochastic AC-OPF on the scenario-sharded KKT (reference
     # GPU sweep parity, run_cases_gpu.jl:90-92); budget-gated.
     if RUN_OPF and certified_runs and remaining() > 300:
-        bank(run_sync("opf", 1000, OPF_TIMEOUT_S, fdtype="ir32"),
-             "opf1000_ir32")
+        bank(run_sync("opf", 1000, OPF_TIMEOUT_S, fdtype="mixed"),
+             "opf1000_mixed")
 
     if not certified_runs:
         # nothing certified: surface the best uncertified device rate
