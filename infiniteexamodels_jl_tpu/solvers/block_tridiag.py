@@ -42,6 +42,8 @@ uses.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -358,6 +360,28 @@ class BlockTridiagKKT:
             order = np.argsort(dest, kind="stable")
             return as_j(sel[order]), as_j(dest[order])
 
+        # round-4: the sorted scatter-ADD is still the assemble bottleneck
+        # in emulated f64 (73 ms of the 103 ms assemble at quad-1000); a
+        # gather + segment-sum + UNIQUE sorted scatter-set plan does the
+        # same contraction with cheap primitives.  Multiplicities are tiny
+        # (quad-1000 D: mean 1.8, max 10), so the padded (unique, mult)
+        # take-table wastes little.  take-index == nnz is the sentinel row
+        # pointing at an appended zero value.
+        nnz_total = len(rows)
+
+        def _gather_plan(sel, dest):
+            order = np.argsort(dest, kind="stable")
+            sel_s, dest_s = sel[order], dest[order]
+            u, start, counts = np.unique(dest_s, return_index=True,
+                                         return_counts=True)
+            mult = int(counts.max()) if len(counts) else 1
+            idx = start[:, None] + np.arange(mult)[None, :]
+            valid = np.arange(mult)[None, :] < counts[:, None]
+            tab = np.where(valid,
+                           sel_s[np.minimum(idx, len(sel_s) - 1)],
+                           nnz_total)
+            return as_j(tab.astype(np.int64)), as_j(u)
+
         nTpad = nb * bs
         self.D_take, self.D_dest = _sorted_scatter(
             selD, blk_r[selD] * bs * bs + off_r[selD] * bs + off_c[selD])
@@ -366,6 +390,14 @@ class BlockTridiagKKT:
         self.B_take, self.B_dest = _sorted_scatter(
             selB, pr[selB] * mB + bpos[cc[selB]])
         self.C_take, self.C_dest = _sorted_scatter(
+            selC, bpos[rr[selC]] * mB + bpos[cc[selC]])
+        self.D_tab, self.D_u = _gather_plan(
+            selD, blk_r[selD] * bs * bs + off_r[selD] * bs + off_c[selD])
+        self.L_tab, self.L_u = _gather_plan(
+            selL, blk_c[selL] * bs * bs + off_r[selL] * bs + off_c[selL])
+        self.B_tab, self.B_u = _gather_plan(
+            selB, pr[selB] * mB + bpos[cc[selB]])
+        self.C_tab, self.C_u = _gather_plan(
             selC, bpos[rr[selC]] * mB + bpos[cc[selC]])
 
         # mesh-distributed factorization applies when the scenario-block
@@ -433,22 +465,37 @@ class BlockTridiagKKT:
         dt = vals.dtype
         nb, bs, mB = self.nb, self.bs, self.mB
 
-        def scat(take, dest, shape):
-            # flat scatter-add with build-time-sorted destinations: lowers
-            # to the fast sorted-scatter TPU path instead of the general
-            # serialized one
+        gather_asm = os.environ.get("IXM_GATHER_ASM", "1") != "0"
+        vals_p = jnp.concatenate([vals, jnp.zeros(1, dt)])
+
+        def scat(take, dest, shape, tab=None, u=None):
             flat = jnp.zeros(int(np.prod(shape)), dt)
-            flat = flat.at[dest].add(vals[take], indices_are_sorted=True)
+            if gather_asm and tab is not None:
+                # gather + segment-sum + UNIQUE sorted set: same
+                # contraction as the scatter-add below, but every step is
+                # a cheap primitive on TPU (the sorted ADD still costs
+                # 73 ms in emulated f64 at quad-1000; this path ~10 ms)
+                seg = vals_p[tab].sum(axis=1)
+                flat = flat.at[u].set(seg, indices_are_sorted=True,
+                                      unique_indices=True)
+            else:
+                # flat scatter-add with build-time-sorted destinations:
+                # lowers to the fast sorted-scatter TPU path instead of
+                # the general serialized one
+                flat = flat.at[dest].add(vals[take],
+                                         indices_are_sorted=True)
             return flat.reshape(shape)
 
-        L = (scat(self.L_take, self.L_dest, (max(nb - 1, 1), bs, bs))
+        L = (scat(self.L_take, self.L_dest, (max(nb - 1, 1), bs, bs),
+                  self.L_tab, self.L_u)
              if (nb > 1 and not self.block_diag)
              else jnp.zeros((max(nb - 1, 1), bs, bs), dt))
-        B = scat(self.B_take, self.B_dest, (self.nTpad, mB))
-        C = scat(self.C_take, self.C_dest, (mB, mB))
-        Dflat = jnp.zeros(nb * bs * bs, dt)
-        Dflat = Dflat.at[self.D_dest].add(vals[self.D_take],
-                                          indices_are_sorted=True)
+        B = scat(self.B_take, self.B_dest, (self.nTpad, mB),
+                 self.B_tab, self.B_u)
+        C = scat(self.C_take, self.C_dest, (mB, mB),
+                 self.C_tab, self.C_u)
+        Dflat = scat(self.D_take, self.D_dest, (nb * bs * bs,),
+                     self.D_tab, self.D_u).reshape(-1)
         Dflat = Dflat.at[self.diag_dest].add(
             diag_extra[self.diag_take].astype(dt),
             indices_are_sorted=True, unique_indices=True)
