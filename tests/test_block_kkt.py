@@ -167,3 +167,29 @@ def test_ir32_farmer():
             factor_dtype="ir32").solve()
     assert rib.status == "first_order"
     assert rib.objective == pytest.approx(r64b.objective, rel=1e-9)
+
+
+def test_gather_assembly_matches_scatter(monkeypatch):
+    """The gather+segment-sum+unique-set assembly (round-4, replaces the
+    sorted scatter-ADD that cost 73 ms/iteration in emulated f64 on chip)
+    must produce bit-identical K blocks to the scatter path."""
+    import jax
+    from infiniteexamodels_jl_tpu.models import quad
+
+    simd, _ = transcribe(quad(num_supports=30))
+    kkt = BlockTridiagKKT(simd)
+    assert kkt.usable
+    x = jnp.asarray(simd.x0)
+    th = jnp.asarray(simd.theta)
+    lam = jnp.ones(simd.ncon)
+    d = jnp.ones(simd.ncon)
+    de = jnp.ones(simd.nvar)
+
+    monkeypatch.setenv("IXM_GATHER_ASM", "1")
+    K1 = jax.jit(lambda: kkt.assemble(x, th, lam, 1.0, d, de))()
+    monkeypatch.setenv("IXM_GATHER_ASM", "0")
+    jax.clear_caches()              # env gate is read at trace time
+    K0 = jax.jit(lambda: kkt.assemble(x, th, lam, 1.0, d, de))()
+    for a, b in zip(K1, K0):
+        if a.size:
+            assert float(jnp.max(jnp.abs(a - b))) == 0.0
