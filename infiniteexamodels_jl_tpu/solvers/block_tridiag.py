@@ -510,11 +510,21 @@ class BlockTridiagKKT:
         """K @ v from the block representation (used by the IPM's iterative
         refinement of the condensed solve).  Computed in the BLOCK dtype
         (f32 blocks keep the product on the native hardware path instead of
-        promoting to emulated f64); the caller gets v's dtype back."""
+        promoting to emulated f64); on TPU even f64 blocks drop to f32 for
+        this product (solvers/blocked_chol.f32_refine_enabled: the
+        refinement only needs residuals to the 1e-6-grade step-quality
+        target, and the emulated-f64 matvec costs ~800x more).  The caller
+        gets v's dtype back."""
+        from .blocked_chol import f32_refine_enabled
+
         D, L, B, C = K
         nb, bs, mB = self.nb, self.bs, self.mB
         out_dt = v.dtype
         dt = D.dtype
+        if f32_refine_enabled(dt):
+            dt = jnp.float32
+            D, L, B, C = (D.astype(dt), L.astype(dt), B.astype(dt),
+                          C.astype(dt))
         v = v.astype(dt)
         # padded-slot layout via pure gather + pad mask (no scatter)
         vT = (v[self.slot_src].reshape(nb, bs)
@@ -532,6 +542,52 @@ class BlockTridiagKKT:
             out_B = jnp.zeros(0, dt)
         out = jnp.concatenate([out_T.reshape(-1), out_B])[self.out_perm]
         return out.astype(out_dt)
+
+    # ------------------------------------------------------------------
+    def make_matvec(self, K):
+        """Matvec closure with per-K preparation hoisted.
+
+        On TPU-f64 this pre-slices the D/L blocks for the Ozaki exact
+        matvec (solvers/blocked_chol): refinement residuals keep full
+        f64 fidelity while every product runs as exact-accumulating f32
+        MXU ops (~26 ms -> ~1 ms per batched product).  The slices are
+        computed once per factorization attempt and travel into the
+        refinement while_loop as loop constants."""
+        from .blocked_chol import (ozaki_refine_enabled, ozaki_slices,
+                                   ozaki_bmv)
+
+        D, L, B, C = K
+        if not ozaki_refine_enabled(D.dtype) or self.bs > 128:
+            return lambda v: self.matvec(K, v)
+        nb, bs, mB = self.nb, self.bs, self.mB
+        SD, sD = ozaki_slices(D, axis=-1)
+        band = nb > 1 and not self.block_diag
+        if band:
+            SL, sL = ozaki_slices(L, axis=-1)
+            SLt, sLt = ozaki_slices(jnp.swapaxes(L, -1, -2), axis=-1)
+
+        def mv(v):
+            out_dt = v.dtype
+            vT = (v[self.slot_src].reshape(nb, bs)
+                  * self.slot_mask).astype(jnp.float64)
+            out_T = ozaki_bmv(SD, sD, vT)
+            if band:
+                out_T = out_T.at[1:].add(ozaki_bmv(SL, sL, vT[:-1]))
+                out_T = out_T.at[:-1].add(ozaki_bmv(SLt, sLt, vT[1:]))
+            if mB:
+                # border stays direct f64: mB is small (first-stage
+                # coupling), so these products are cheap
+                vB = v.astype(jnp.float64)[self.b_ids]
+                out_T = out_T + jnp.einsum(
+                    "bij,j->bi", B.astype(jnp.float64), vB)
+                out_B = (jnp.einsum("bij,bi->j", B.astype(jnp.float64), vT)
+                         + C.astype(jnp.float64) @ vB)
+            else:
+                out_B = jnp.zeros(0, jnp.float64)
+            out = jnp.concatenate([out_T.reshape(-1), out_B])[self.out_perm]
+            return out.astype(out_dt)
+
+        return mv
 
     # ------------------------------------------------------------------
     def factor(self, K):

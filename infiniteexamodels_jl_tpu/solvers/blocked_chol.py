@@ -81,6 +81,96 @@ def blocked_chol_linv(D, panel=8):
     return L, X
 
 
+# ----------------------------------------------------------------------
+# Ozaki-sliced exact f64 matvec on the f32 MXU path
+# ----------------------------------------------------------------------
+# The IPM's refinement needs EXACT residuals r = rhs - K dx (f32 ones get
+# kappa-amplified by the correction -- measured divergence, see
+# f32_refine_enabled), but the emulated-f64 batched matvec costs ~26 ms
+# per (640,64,64) product on this chip vs ~0.02 ms in f32.  The Ozaki
+# scheme splits each f64 operand into narrow integer-valued f32 slices
+# whose pairwise products ACCUMULATE EXACTLY in f32 (slice width w=9:
+# |S| <= 2^8+1, products <= 2^16.1, summed over bs<=128 lanes < 2^24),
+# then recombines the level sums in f64.  Result: f64-grade (~2^-53
+# relative to row norms) products built entirely from cheap f32 ops.
+
+_OZ_W = 9          # slice significand width (exact for bs <= 128)
+_OZ_K = 6          # slices: 6*9 = 54 bits >= f64's 53
+
+
+def ozaki_slices(A, axis):
+    """Split f64 ``A`` into ``_OZ_K`` integer-valued f32 slices along the
+    contraction ``axis`` with per-row max-abs scaling.
+
+    Returns ``(S, s)``: ``S`` is (k,) + A.shape float32, ``s`` the f64
+    scale with ``axis`` kept as size 1; ``A ~= s * sum_j S_j 2^-(w(j+1))``
+    to ~2^-54 relative."""
+    w = _OZ_W
+    s = jnp.max(jnp.abs(A), axis=axis, keepdims=True)
+    s = jnp.where(s == 0, 1.0, s)
+    anorm = A / s
+    slices = []
+    Rprev = jnp.zeros_like(anorm)
+    for j in range(_OZ_K):
+        R = jnp.round(anorm * (2.0 ** (w * (j + 1))))
+        slices.append((R - Rprev * (2.0 ** w)).astype(jnp.float32))
+        Rprev = R
+    return jnp.stack(slices), s
+
+
+def ozaki_bmv(SA, sA, v):
+    """Exact-accumulation batched matvec ``A @ v`` from pre-sliced ``A``.
+
+    ``SA``: (k, nb, m, n) f32 slices, ``sA``: (nb, m, 1) f64 scales,
+    ``v``: (nb, n) f64.  Returns (nb, m) f64 with ~2^-53 relative error
+    (to row-scale * max|v| per block) -- f64-grade for residual purposes.
+    """
+    w = _OZ_W
+    Sv, sv = ozaki_slices(v, axis=-1)          # (k, nb, n), (nb, 1)
+    # each pair-product einsum accumulates EXACTLY in f32 (integer values
+    # < 2^24); cross-pair and cross-level accumulation happens on small
+    # (nb, m) f64 vectors, so no precision is lost anywhere downstream
+    out = jnp.zeros(SA.shape[1:3], jnp.float64)
+    for lvl in range(_OZ_K):
+        acc = jnp.zeros(SA.shape[1:3], jnp.float64)
+        for i in range(lvl + 1):
+            j = lvl - i
+            acc = acc + jnp.einsum("kij,kj->ki", SA[i],
+                                   Sv[j]).astype(jnp.float64)
+        out = out + acc * (2.0 ** (-_OZ_W * (lvl + 2)))
+    return out * sA[..., 0] * sv
+
+
+def ozaki_refine_enabled(dtype) -> bool:
+    """Use Ozaki-sliced exact matvecs for the f64 refinement residuals on
+    TPU (IXM_OZAKI=0 kills, =1 forces -- tests exercise it on CPU)."""
+    env = os.environ.get("IXM_OZAKI", "auto")
+    if env == "0" or jnp.dtype(dtype) != jnp.float64:
+        return False
+    if env == "1":
+        return True
+    try:
+        return jax.devices()[0].platform not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
+def f32_refine_enabled(dtype) -> bool:
+    """EXPERIMENTAL (off unless IXM_F32_REFINE=1): compute the f64 path's
+    refinement residuals in f32.
+
+    Measured round-4 and rejected as a default: the refinement CORRECTION
+    dx += K^{-1} r amplifies the f32 residual noise by kappa (~1e8 on the
+    condensed KKT), so correction rounds inject O(kappa*eps32)-relative
+    garbage into the step -- quad-40 at tol=1e-8 diverged to max_iter
+    with the objective off by 35%.  Exact residuals are load-bearing;
+    the production answer is the Ozaki-sliced exact matvec (ozaki_bmv
+    below), which gets f64-grade residuals out of exact-accumulating f32
+    MXU products."""
+    return os.environ.get("IXM_F32_REFINE", "0") == "1" \
+        and jnp.dtype(dtype) == jnp.float64
+
+
 def blocked_chol_enabled(dtype) -> bool:
     """Use the blocked path for f64 blocks on a real TPU (where XLA's
     unblocked f64 kernels are the measured bottleneck); CPU/GPU keep the

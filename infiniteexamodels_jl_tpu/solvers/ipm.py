@@ -899,6 +899,22 @@ class IpmSolver:
             # iterations on quad-200)
             refine_tol = jnp.clip(0.05 * o["refine_mu_factor_ir"] * mu,
                                   refine_tol, o["refine_tol_cap_ir"])
+        elif not lowprec_ref and dt == jnp.float64:
+            # f64 step set with f32 refinement residuals on TPU
+            # (blocked_chol.f32_refine_enabled): the measurable relative
+            # residual floors at ~n*eps32, so chasing the f64 target just
+            # burns matvec+solve rounds that cannot contract, and an
+            # acceptance below the floor would spuriously fail every step.
+            # The TRUE step quality is still eps64*kappa (full f64 blocked
+            # factor) -- only the measurement is f32-coarse, mirroring the
+            # accuracy model the ir32 step set already certifies tol=1e-6
+            # problems with.
+            from .blocked_chol import f32_refine_enabled
+
+            if f32_refine_enabled(jnp.float64) and \
+                    not getattr(kkt, "exact_solve", False):
+                refine_tol = jnp.maximum(refine_tol, 3e-7)
+                refine_accept = jnp.maximum(refine_accept, 1e-5)
 
         def make_step(delta_w, delta_c):
             inv_ss = 1.0 / (sigma_s + delta_w)
@@ -960,6 +976,11 @@ class IpmSolver:
                                           consts["sf"] * m.sense, w)
                                 + m.jtprod(jvals, D * m.jprod(jvals, w))
                                 + diag_extra * w)
+                elif hasattr(kkt, "make_matvec"):
+                    # per-K prepared matvec: on TPU-f64 the Ozaki slices
+                    # are computed here, once per factorization attempt,
+                    # and enter the refinement while_loop as constants
+                    Kmv = kkt.make_matvec(K)
                 else:
                     def Kmv(w):
                         return kkt.matvec(K, w)

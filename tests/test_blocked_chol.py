@@ -69,3 +69,48 @@ def test_ipm_solve_through_blocked_path(monkeypatch):
     jax.clear_caches()     # the env gate is read at trace time
     r0 = S(simd, print_level=0, linear_solver="auto", tol=1e-8).solve()
     assert r.objective == pytest.approx(r0.objective, abs=1e-9)
+
+
+def test_ozaki_bmv_f64_grade():
+    """Ozaki-sliced matvec: exact-accumulating f32 slice products must
+    reproduce the f64 batched matvec to ~1e-15 scaled error, including
+    KKT-like 16-decade dynamic range."""
+    from infiniteexamodels_jl_tpu.solvers.blocked_chol import (
+        ozaki_slices, ozaki_bmv)
+
+    rng = np.random.default_rng(0)
+    for spread in (1.0, 1e8):
+        A = rng.standard_normal((17, 64, 64)) * (
+            spread ** rng.uniform(-1, 1, (17, 64, 1)))
+        v = rng.standard_normal((17, 64)) * (
+            spread ** rng.uniform(-1, 1, (17, 1)))
+        SA, sA = ozaki_slices(jnp.asarray(A), axis=-1)
+        out = np.asarray(ozaki_bmv(SA, sA, jnp.asarray(v)))
+        ref = np.einsum("kij,kj->ki", A, v)
+        denom = np.abs(A).max(-1) * np.abs(v).max(-1, keepdims=True)
+        assert np.max(np.abs(out - ref) / (denom + 1e-300)) < 1e-13
+
+
+def test_ozaki_prepared_matvec_matches(monkeypatch):
+    """BlockTridiagKKT.make_matvec with IXM_OZAKI=1 must agree with the
+    plain f64 matvec on an assembled quadrotor KKT."""
+    import jax
+    from infiniteexamodels_jl_tpu.models import quad
+    from infiniteexamodels_jl_tpu.transcribe import transcribe
+    from infiniteexamodels_jl_tpu.solvers.block_tridiag import (
+        BlockTridiagKKT)
+
+    simd, _ = transcribe(quad(num_supports=30))
+    kkt = BlockTridiagKKT(simd)
+    x = jnp.asarray(simd.x0)
+    th = jnp.asarray(simd.theta)
+    lam = jnp.ones(simd.ncon)
+    K = kkt.assemble(x, th, lam, 1.0, jnp.ones(simd.ncon),
+                     jnp.ones(simd.nvar))
+    v = jnp.asarray(np.random.default_rng(1).standard_normal(simd.nvar))
+    ref = np.asarray(kkt.matvec(K, v))
+    monkeypatch.setenv("IXM_OZAKI", "1")
+    jax.clear_caches()
+    out = np.asarray(kkt.make_matvec(K)(v))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out, ref, atol=1e-12 * scale, rtol=0)
