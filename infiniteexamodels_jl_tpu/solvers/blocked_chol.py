@@ -47,37 +47,52 @@ def blocked_chol_linv(D, panel=8):
         return L, jsl.solve_triangular(L, jnp.broadcast_to(eye, D.shape),
                                        lower=True)
     k = n // p
-    eye_p = jnp.broadcast_to(jnp.eye(p, dtype=D.dtype), (nb, p, p))
+    dt = D.dtype
+    eye_p = jnp.broadcast_to(jnp.eye(p, dtype=dt), (nb, p, p))
+    ri = jnp.arange(n)
+    dus = jax.lax.dynamic_update_slice
+    dsl = jax.lax.dynamic_slice
 
-    # -- right-looking factor: p-column panels, full-width matmul updates
-    L = jnp.zeros_like(D)
-    Ms = []                       # panel inverses L_jj^{-1}, reused below
-    T = D
-    for j in range(k):
-        a, b = j * p, (j + 1) * p
-        Ljj = jnp.linalg.cholesky(T[:, a:b, a:b])
+    # -- right-looking factor as a fori_loop over p-column panels:
+    # full-width masked slabs keep every shape static, so the traced
+    # graph is O(1) in the panel count (the unrolled form made XLA
+    # compile times explode at quad-4000 scale: >1 h over the tunnel).
+    # The extra flops of full-width updates are matmul flops -- noise.
+    def fac_body(j, carry):
+        T, L, Ms = carry
+        a = j * p
+        Dkk = dsl(T, (0, a, a), (nb, p, p))
+        Ljj = jnp.linalg.cholesky(Dkk)
         Mjj = jsl.solve_triangular(Ljj, eye_p, lower=True)
-        Ms.append(Mjj)
-        L = L.at[:, a:b, a:b].set(Ljj)
-        if b < n:
-            # L_21 = T_21 L_jj^{-T}: one (nb, n-b, p) matmul
-            L21 = jnp.einsum("kab,kcb->kac", T[:, b:, a:b], Mjj)
-            L = L.at[:, b:, a:b].set(L21)
-            # trailing Schur update: one (nb, n-b, n-b) Gram matmul
-            T = T.at[:, b:, b:].add(
-                -jnp.einsum("kab,kcb->kac", L21, L21))
+        Ms = dus(Ms, Mjj[None], (j, 0, 0, 0))
+        colslab = dsl(T, (0, 0, a), (nb, n, p))
+        L21 = jnp.einsum("bij,bkj->bik", colslab, Mjj)
+        # keep only rows strictly below the panel; garbage above is masked
+        L21 = jnp.where((ri >= a + p)[None, :, None], L21, 0.0)
+        colwrite = dus(L21, Ljj, (0, a, 0))
+        L = dus(L, colwrite, (0, 0, a))
+        # trailing Schur update: L21 is zero outside rows >= a+p, so the
+        # full-width Gram product touches exactly the trailing block
+        T = T - jnp.einsum("bip,bjp->bij", L21, L21)
+        return T, L, Ms
 
-    # -- blocked triangular inverse: row-block i of X = L^{-1} is
-    #    X_i,:i = -M_ii (L_i,:i @ X_:i,:i),  X_ii = M_ii
-    #    (one full-width matmul pair per row block)
-    X = jnp.zeros_like(D)
-    for i in range(k):
-        a, b = i * p, (i + 1) * p
-        X = X.at[:, a:b, a:b].set(Ms[i])
-        if i:
-            acc = jnp.einsum("kab,kbc->kac", L[:, a:b, :a], X[:, :a, :a])
-            X = X.at[:, a:b, :a].set(
-                -jnp.einsum("kab,kbc->kac", Ms[i], acc))
+    _, L, Ms = jax.lax.fori_loop(
+        0, k, fac_body,
+        (D, jnp.zeros_like(D), jnp.zeros((k, nb, p, p), dt)))
+
+    # -- blocked triangular inverse, same fori structure: row-block i of
+    #    X = L^{-1} is X_i,:i = -M_ii (L_i,:i @ X_:i,:i),  X_ii = M_ii
+    def inv_body(i, X):
+        a = i * p
+        Mii = Ms[i]
+        Lrows = dsl(L, (0, a, 0), (nb, p, n))
+        Lrows = jnp.where((ri < a)[None, None, :], Lrows, 0.0)
+        acc = jnp.einsum("bpn,bnm->bpm", Lrows, X)
+        rowwrite = dus(-jnp.einsum("bpq,bqm->bpm", Mii, acc),
+                       Mii, (0, 0, a))
+        return dus(X, rowwrite, (0, a, 0))
+
+    X = jax.lax.fori_loop(0, k, inv_body, jnp.zeros_like(D))
     return L, X
 
 
