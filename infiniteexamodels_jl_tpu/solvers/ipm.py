@@ -399,6 +399,7 @@ class IpmSolver:
         self._init_jit = jax.jit(initw, static_argnames=())
         self._consts_jit = jax.jit(self._make_consts)
         self._restore_jit = None     # compiled lazily on first breakdown
+        self._extract_jit = None     # single-dispatch result extraction
         self._stepw = stepw
         # device-side multi-iteration driver: one host round-trip per chunk
         # (the tunneled-TPU dispatch latency dominates otherwise)
@@ -1880,13 +1881,31 @@ class IpmSolver:
             return np.asarray(
                 multihost_utils.process_allgather(a, tiled=True))
 
-        x = to_host(st.x)
-        sf = float(consts["sf"])
-        sc = to_host(consts["sc"])
-        fobj = float(m.obj(st.x, theta))
-        y_user = to_host(st.y) * sc / sf * m.sense
-        zl = to_host(st.zl)[:m.nvar] / sf * m.sense
-        zu = to_host(st.zu)[:m.nvar] / sf * m.sense
+        # single-dispatch, single-transfer result extraction: on the
+        # tunneled-TPU setup each dispatch and each device->host fetch is
+        # a network roundtrip, and the naive sequence (obj eval + 4 array
+        # pulls + 2 scalar floats) measurably dominated short warm solves
+        n = m.nvar
+        if self._extract_jit is None:
+            def _extract(stt, c):
+                yu = stt.y * c["sc"] / c["sf"] * m.sense
+                return jnp.concatenate([
+                    stt.x,
+                    yu,
+                    stt.zl[:n] / c["sf"] * m.sense,
+                    stt.zu[:n] / c["sf"] * m.sense,
+                    jnp.stack([m.obj(stt.x, c["theta"]),
+                               stt.log_inf_pr, stt.log_inf_du]),
+                ])
+            self._extract_jit = jax.jit(_extract)
+        packed = to_host(self._extract_jit(st, consts))
+        x = packed[:n]
+        y_user = packed[n:n + m.ncon]
+        zl = packed[n + m.ncon:2 * n + m.ncon]
+        zu = packed[2 * n + m.ncon:3 * n + m.ncon]
+        fobj = float(packed[-3])
+        st = st._replace(log_inf_pr=jnp.asarray(packed[-2]),
+                         log_inf_du=jnp.asarray(packed[-1]))
         res = ExecutionStats(
             status=status,
             objective=fobj,
