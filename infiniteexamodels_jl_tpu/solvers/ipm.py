@@ -404,14 +404,24 @@ class IpmSolver:
         # device-side multi-iteration driver: one host round-trip per chunk
         # (the tunneled-TPU dispatch latency dominates otherwise)
 
+        def probe_of(s):
+            # the host's control scalars ride back WITH the chunk result:
+            # one extra tiny array in an existing dispatch instead of
+            # three separate device->host fetches (each a full network
+            # roundtrip on the tunneled-TPU setup)
+            return jnp.stack([s.status.astype(self.model.dtype),
+                              s.iter.astype(self.model.dtype), s.mu])
+
         def run_chunk(st, consts, iter_cap):
             def cond(s):
                 return (s.status == RUNNING) & (s.iter < iter_cap)
 
-            return jax.lax.while_loop(
+            st = jax.lax.while_loop(
                 cond, lambda s: stepw(s, consts, self.kkt), st)
+            return st, probe_of(st)
 
         self._run_jit = jax.jit(run_chunk, donate_argnums=(0,))
+        self._probe_of = probe_of
 
         # f32-phase drivers (compiled lazily): identical step, f32 KKT;
         # the chunk loop additionally exits once mu crosses the switch so
@@ -428,8 +438,9 @@ class IpmSolver:
                     return ((s.status == RUNNING) & (s.iter < iter_cap)
                             & (s.mu > mu_switch))
 
-                return jax.lax.while_loop(
+                st = jax.lax.while_loop(
                     cond, lambda s: stepw(s, consts, self.kkt32), st)
+                return st, probe_of(st)
 
             self._run32_jit = jax.jit(run_chunk32, donate_argnums=(0,))
 
@@ -1770,6 +1781,7 @@ class IpmSolver:
         else:
             mu_switch = o["mu_switch_f32"]
         f32_demoted = False
+        mu_host = float(st.mu)
         while it < o["max_iter"]:
             t0 = time.time()
             # mixed precision: run the f32-factorization step set while the
@@ -1777,22 +1789,26 @@ class IpmSolver:
             # switch (or a step demotes on refinement failure) and the f64
             # endgame takes over
             use32 = (self._step32_jit is not None and not f32_demoted
-                     and float(st.mu) > mu_switch)
+                     and mu_host > mu_switch)
             if chunk == 1:
                 st = (self._step32_jit if use32 else self._step_jit)(
                     st, consts)
+                probe = np.asarray(self._probe_of(st))
             else:
                 # device-side multi-iteration driver: one host round-trip
                 # per chunk (dispatch latency over the TPU tunnel dominates
-                # a per-iteration loop)
+                # a per-iteration loop); the control scalars come back in
+                # the same dispatch (see probe_of)
                 cap = jnp.asarray(min(it + chunk, o["max_iter"]), jnp.int32)
                 if use32:
-                    st = self._run32_jit(st, consts, cap,
-                                         jnp.asarray(mu_switch, m.dtype))
+                    st, probe = self._run32_jit(
+                        st, consts, cap, jnp.asarray(mu_switch, m.dtype))
                 else:
-                    st = self._run_jit(st, consts, cap)
-            code = int(st.status)
-            it = int(st.iter)
+                    st, probe = self._run_jit(st, consts, cap)
+                probe = np.asarray(probe)
+            code = int(probe[0])
+            it = int(probe[1])
+            mu_host = float(probe[2])
             dt_chunk = time.time() - t0
             timers["step_total"] += dt_chunk
             if np.isnan(timers["first_chunk"]):
