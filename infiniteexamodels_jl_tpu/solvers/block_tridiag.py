@@ -556,6 +556,10 @@ class BlockTridiagKKT:
         from .blocked_chol import (ozaki_refine_enabled, ozaki_slices,
                                    ozaki_bmv)
 
+        # sharded subclasses carry different K layouts (aligned
+        # shard_map tuples); they keep their own matvec paths
+        if getattr(self, "aligned", False) or len(K) != 4:
+            return lambda v: self.matvec(K, v)
         D, L, B, C = K
         if not ozaki_refine_enabled(D.dtype) or self.bs > 128:
             return lambda v: self.matvec(K, v)
