@@ -314,6 +314,16 @@ DEFAULTS = dict(
     resto_max_entries=5,     # restoration rounds before giving up (stalled)
     resto_zeta=1e-6,         # proximal weight on ||x - x_entry||_{D_R}
     resto_delta_init=1e-8,   # initial LM damping
+    # equality-multiplier initialization (Ipopt least_square_init_duals
+    # role, which the reference can reach through its Ipopt glue):
+    # "zero" starts y at the user/warmstart value (default 0);
+    # "lsq" solves  min_y ||g - zl + zu + J^T y||^2 + ||y + zl_s - zu_s||^2
+    # matrix-free (CG on J J^T + I, one extra device dispatch) at the
+    # pushed-inside initial point.  The result is bounded by ~||J^+ r||
+    # regardless of how degenerate the constraint set is -- the designed
+    # entry point for families whose duals otherwise start far from the
+    # stationary manifold (pandemic staged scenario growth).
+    dual_init="zero",
 )
 
 
@@ -400,6 +410,7 @@ class IpmSolver:
         self._consts_jit = jax.jit(self._make_consts)
         self._restore_jit = None     # compiled lazily on first breakdown
         self._extract_jit = None     # single-dispatch result extraction
+        self._lsq_jit = None         # lazily built for dual_init="lsq"
         self._stepw = stepw
         # device-side multi-iteration driver: one host round-trip per chunk
         # (the tunneled-TPU dispatch latency dominates otherwise)
@@ -448,6 +459,7 @@ class IpmSolver:
     _RUNTIME_OPTS = frozenset({
         "tol", "acceptable_tol", "acceptable_iter", "mu_init", "max_iter",
         "max_wall_time", "print_level",
+        "dual_init",   # host-side init decision; own lazily-built jit
     })
 
     def set_options(self, **options):
@@ -1439,11 +1451,76 @@ class IpmSolver:
             log_delta_w=dw_used, log_rr=rr_f, log_E0=E0,
         )
 
+    def _lsq_duals(self, st, consts):
+        """Least-squares equality multipliers at the initial point (Ipopt
+        ``least_square_init_duals`` role).  With the lifted slack rows the
+        stationarity residual is ``[g - zl_x + zu_x + J^T y;
+        -(y + zl_s - zu_s)]``, whose normal equations are
+        ``(J J^T + I) y = -J r_x - zl_s + zu_s`` -- the ``+ I`` from the
+        slack rows makes plain CG well-conditioned.  Matrix-free: two COO
+        J-products per CG round, no factorization, one device dispatch.
+
+        The solution is bounded by ``~||J^+|| ||r||`` no matter how
+        degenerate the active set is, which is the point: on families with
+        an unbounded multiplier ray (pandemic singular arc) a bounded,
+        stationarity-consistent y start replaces the zero/transferred
+        duals that otherwise have to grow their near-singular profile at
+        crawling step sizes (README known-limits record)."""
+        m = self.model
+        n = m.nvar
+        dt = m.dtype
+        tiny = jnp.finfo(dt).tiny
+        jvals = self._jvals(st.x, consts)
+        rx = self._geval(st.x, consts) - st.zl[:n] + st.zu[:n]
+        b = -m.jprod(jvals, rx) - st.zl[n:] + st.zu[n:]
+
+        def Amv(y):
+            return m.jprod(jvals, m.jtprod(jvals, y)) + y
+
+        bb = jnp.vdot(b, b)
+        y0 = jnp.zeros(m.ncon, dt)
+
+        def cond(c):
+            _, _, _, rs, k = c
+            return (k < 200) & (rs > 1e-24 * bb)
+
+        def body(c):
+            y, p, r, rs, k = c
+            Ap = Amv(p)
+            alpha = rs / (jnp.vdot(p, Ap) + tiny)
+            y = y + alpha * p
+            r = r - alpha * Ap
+            rs_new = jnp.vdot(r, r)
+            p = r + (rs_new / (rs + tiny)) * p
+            return y, p, r, rs_new, k + 1
+
+        y, *_ = jax.lax.while_loop(
+            cond, body, (y0, b, b, bb, jnp.asarray(0, jnp.int32)))
+        return y
+
     def _compute_consts(self, theta, m):
         """One-shot problem constants.  When the default device is an
         accelerator behind a slow remote-compile path, trace/compile this
         tiny module on the host CPU backend instead (its output transfers
-        once); falls back to the default device transparently."""
+        once); falls back to the default device transparently.
+
+        The device-resident result is CACHED across solves, keyed on a
+        content fingerprint of (theta, x0, bounds) plus the option values
+        that feed the dict: re-uploading ~20 constant arrays over the
+        tunneled-TPU link was probed at 1.2-1.4 s of an 8 s warm quad-1000
+        re-solve (the dominant fixed per-solve cost)."""
+        o = self.opts
+        key = None
+        try:
+            key = (m.consts_fingerprint(), o["nlp_scaling_max_gradient"],
+                   o["kappa_relax"], o["tol"], o["acceptable_tol"],
+                   o["acceptable_iter"], o["mu_init"],
+                   jax.process_count() > 1)
+            cached = getattr(self, "_consts_cache", None)
+            if cached is not None and cached[0] == key:
+                return cached[1]
+        except Exception:
+            key = None
         # local_devices: in a multi-process run jax.devices() enumerates
         # every process's devices; committing to another process's device
         # makes the result unfetchable there
@@ -1455,23 +1532,33 @@ class IpmSolver:
         mesh = getattr(m, "mesh", None)
         multiproc = jax.process_count() > 1
         if (cpu is None or default.platform == "cpu") and not multiproc:
-            return self._consts_jit(theta, m.x0, m.lvar, m.uvar)
-        # host_data(): trace against the numpy twins of the static family
-        # arrays -- without this, the CPU trace either pulls every gather
-        # table back over the device tunnel (observed: minutes per solve)
-        # or, multi-host, closes over non-addressable sharded buffers
-        with m.host_data(), jax.default_device(cpu):
-            host = jax.jit(self._make_consts)(
-                np.asarray(theta), np.asarray(m.core.x0),
-                np.asarray(m.core.lvar), np.asarray(m.core.uvar))
-        if mesh is not None and multiproc:
-            from jax.sharding import NamedSharding, PartitionSpec
+            out = self._consts_jit(theta, m.x0, m.lvar, m.uvar)
+        else:
+            # host_data(): trace against the numpy twins of the static
+            # family arrays -- without this, the CPU trace either pulls
+            # every gather table back over the device tunnel (observed:
+            # minutes per solve) or, multi-host, closes over
+            # non-addressable sharded buffers.  x0/theta come from their
+            # host twins too (set_x0 overrides included) so the trace
+            # never waits on the tunnel.
+            x0_np = m._x0_np if getattr(m, "_x0_np", None) is not None \
+                else np.asarray(m.core.x0)
+            with m.host_data(), jax.default_device(cpu):
+                host = jax.jit(self._make_consts)(
+                    np.asarray(m.core.theta), x0_np,
+                    np.asarray(m.core.lvar), np.asarray(m.core.uvar))
+            if mesh is not None and multiproc:
+                from jax.sharding import NamedSharding, PartitionSpec
 
-            repl = NamedSharding(mesh, PartitionSpec())
-            return {k: jax.device_put(np.asarray(v), repl)
-                    for k, v in host.items()}
-        return {k: jax.device_put(np.asarray(v), default)
-                for k, v in host.items()}
+                repl = NamedSharding(mesh, PartitionSpec())
+                out = {k: jax.device_put(np.asarray(v), repl)
+                       for k, v in host.items()}
+            else:
+                out = {k: jax.device_put(np.asarray(v), default)
+                       for k, v in host.items()}
+        if key is not None:
+            self._consts_cache = (key, out)
+        return out
 
     # ------------------------------------------------------------------
     # feasibility restoration (role of Ipopt §3.3, which the reference
@@ -1757,6 +1844,19 @@ class IpmSolver:
             st = self._init_jit(x0, y0s, consts, zl_full, zu_full)
         else:
             st = self._init_jit(x0, y0s, consts)
+        if o["dual_init"] == "lsq" and resume_from is None:
+            if self._lsq_jit is None:
+                def lsqw(s, c):
+                    with self.model.bound_tables(
+                            c.get("fam"), c.get("jac_rows"),
+                            c.get("jac_cols")):
+                        return self._lsq_duals(s, c)
+
+                self._lsq_jit = jax.jit(lsqw)
+            y_lsq = self._lsq_jit(st, consts)
+            # distinct buffer for best_y: the chunk jits donate the whole
+            # state, and aliased leaves trip XLA's double-donation check
+            st = st._replace(y=y_lsq, best_y=jnp.array(y_lsq, copy=True))
         # first_chunk isolates the first jitted dispatch (compile +
         # cache-miss cost on remote-compile setups) from the warm steps so
         # callers can report compile_s and warm iter/s as separate
