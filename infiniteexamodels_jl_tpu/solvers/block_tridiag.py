@@ -409,6 +409,10 @@ class BlockTridiagKKT:
 
         # scatter targets for diagonal additions + rhs permutation
         self.t_ids_np = t_ids
+        # DIA assembly plan (lazy; see _build_dia_plan): needs the slot map
+        self._slot_np = slot
+        self._dia = None
+        self._dia_ok = None
         self.t_ids = as_j(t_ids)
         self.t_slots = as_j(slot[t_ids])        # padded positions
         self.b_ids = as_j(b_ids)
@@ -450,6 +454,206 @@ class BlockTridiagKKT:
         return jax.lax.with_sharding_constraint(
             arr, NamedSharding(self.mesh, spec))
 
+    # ------------------------------------------------------------------
+    # DIA (diagonal-form) assembly: the gather-free fast path
+    # ------------------------------------------------------------------
+    def _build_dia_plan(self):
+        """Static plan for assembling the band K in DIAGONAL form.
+
+        Motivation (on-device phase profile, quad-1000 f64: assemble
+        110 ms of a 400 ms step, ~95 ms of it the random value gather +
+        segment-sum): TPU gathers are latency-bound, but the SIMD family
+        property makes them unnecessary.  Every family evaluates ONE
+        template over an iterator, so for a fixed Hessian pattern entry
+        ``j`` the destination (row, col) pairs across the family's rows
+        are affine in the row index whenever the band uses the
+        support-interleaved ordering: row positions step by a constant
+        stride ``s`` (the per-support variable count) and ``col - row``
+        is a CONSTANT diagonal.  Each pattern entry is then a contiguous
+        run on one diagonal of the band, and assembly becomes dense
+        reshapes/pads + a handful of row-block scatter-adds -- no value
+        gather at all.  The (nb, bs, bs) D/L blocks are recovered from
+        the diagonal array with a pure reshape/slice skew trick
+        (D[b][r, c] = dia[c-r+2bs-1, b*bs+r]; flattening (bs, ndiagP)
+        row-major turns the skewed read into a strided slice).
+
+        Returns None when the ordering is not affine enough (RCM bands,
+        block-diag mode, <60% coverage); irregular leftovers ride a
+        small gather plan into the same diagonal array."""
+        m = self.model
+        slot = self._slot_np
+        bs, nb, nTpad = self.bs, self.nb, self.nTpad
+        ndiagP = 3 * bs - 1
+        fams = [f for f in m.con_fams + m.obj_fams if f.kx > 0]
+        nnz_total = len(m.hess_rows_np)
+        covered = np.zeros(nnz_total, bool)
+        tt_entries = np.nonzero((slot[m.hess_rows_np] >= 0)
+                                & (slot[m.hess_cols_np] >= 0))[0]
+
+        # pass 1: per (family, pattern entry) affine-run detection.
+        # A run is rows p, p+P, p+2P, ... (period P covers the per-element
+        # node patterns of collocation stencils, whose slots are affine
+        # only per node class) whose row positions advance by a constant
+        # stride and whose col-row diagonal is constant.
+        fam_off = []
+        off = 0
+        for f in fams:
+            fam_off.append(off)
+            off += f.n * f.kx * f.kx
+        runs = []          # (fi, j, P, p, count, dd, p0, stride)
+        for fi, f in enumerate(fams):
+            k2 = f.kx * f.kx
+            vr = f.vidx[:, f.pairs_a]        # (n, k2) row vars
+            vc = f.vidx[:, f.pairs_b]
+            pr = slot[vr]
+            pc = slot[vc]
+            ok_T = (pr >= 0).all(axis=0) & (pc >= 0).all(axis=0)
+            dmat = pc - pr
+            done = ~ok_T                     # border entries never regular
+            for P in (1, 2, 3, 4):
+                todo = np.nonzero(~done)[0]
+                if todo.size == 0:
+                    break
+                for j in todo:
+                    segs = []
+                    okj = True
+                    for p in range(P):
+                        prp = pr[p::P, j]
+                        dp_ = dmat[p::P, j]
+                        cnt = len(prp)
+                        if cnt == 0:
+                            continue
+                        # short tails are cheaper through the leftover
+                        # gather than through their own packing view
+                        if cnt < 8 or (dp_ != dp_[0]).any():
+                            okj = False
+                            break
+                        st = prp[1] - prp[0]
+                        if st <= 0 or (np.diff(prp) != st).any():
+                            okj = False
+                            break
+                        segs.append((p, cnt, int(dp_[0]), int(prp[0]),
+                                     int(st)))
+                    if okj and segs:
+                        for p, cnt, d0, p0, st in segs:
+                            dd = d0 + 2 * bs - 1
+                            if not (0 <= dd < ndiagP):
+                                okj = False
+                        if okj:
+                            for p, cnt, d0, p0, st in segs:
+                                runs.append((fi, int(j), P, p, cnt,
+                                             d0 + 2 * bs - 1, p0, st))
+                            e0 = fam_off[fi] + int(j)
+                            covered[e0: e0 + f.n * k2: k2] = True
+                            done[j] = True
+        if not runs:
+            return None
+
+        frac = covered[tt_entries].mean() if tt_entries.size else 0.0
+        if frac < 0.6:
+            return None
+
+        # group runs: one scatter per (family, period, phase, stride, q0);
+        # each stride gets its own packing view of the diagonal array
+        fam_groups = {}
+        stride_set = set()
+        for fi, j, P, p, cnt, dd, p0, st in runs:
+            q0, col = p0 // st, p0 % st
+            nsup_s = -(-nTpad // st)
+            if q0 + cnt > nsup_s:
+                return None                   # slots out of range: give up
+            stride_set.add(st)
+            fam_groups.setdefault((fi, P, p, st, q0, cnt), []).append(
+                (j, dd, col))
+        groups = []
+        for (fi, P, p, st, q0, cnt), items in sorted(fam_groups.items()):
+            items.sort(key=lambda t: (t[1], t[2]))
+            f = fams[fi]
+            groups.append(dict(
+                off=fam_off[fi], n=f.n, k2=f.kx * f.kx, P=P, p=p,
+                cnt=cnt, stride=st, q0=int(q0),
+                # NUMPY on purpose: the plan may be built lazily inside a
+                # jit trace, where jnp constants become tracers that must
+                # not be cached across traces
+                jsel=np.array([t[0] for t in items], np.int64),
+                dd=np.array([t[1] for t in items], np.int64),
+                col=np.array([t[2] for t in items], np.int64)))
+        strides = sorted(stride_set)
+
+        # leftover T entries -> gather plan into the flat dia array
+        left = tt_entries[~covered[tt_entries]]
+        left_tab = left_u = None
+        if left.size:
+            rr, cc = m.hess_rows_np[left], m.hess_cols_np[left]
+            pr, pc = slot[rr], slot[cc]
+            dest = (pc - pr + 2 * bs - 1) * nTpad + pr
+            order = np.argsort(dest, kind="stable")
+            sel_s, dest_s = left[order], dest[order]
+            u, start, counts = np.unique(dest_s, return_index=True,
+                                         return_counts=True)
+            mult = int(counts.max()) if len(counts) else 1
+            idx = start[:, None] + np.arange(mult)[None, :]
+            valid = np.arange(mult)[None, :] < counts[:, None]
+            tab = np.where(valid, sel_s[np.minimum(idx, len(sel_s) - 1)],
+                           nnz_total)
+            left_tab, left_u = tab.astype(np.int64), u.astype(np.int64)
+        return dict(strides=strides, ndiagP=ndiagP, groups=groups,
+                    left_tab=left_tab, left_u=left_u,
+                    coverage=float(frac))
+
+    def _dia_blocks(self, vals, dt):
+        """(D, L) from the value stream via the DIA plan: dense ops only."""
+        p = self._dia
+        bs, nb, nTpad = self.bs, self.nb, self.nTpad
+        ndiagP = p["ndiagP"]
+        # one packing view per stride: (ndiagP, stride, nsup_s) so every
+        # run is a contiguous row write; folded into the flat diagonal
+        # array afterwards by a pure transpose+reshape
+        dia = jnp.zeros((ndiagP, nTpad), dt)
+        for st in p["strides"]:
+            nsup_s = -(-nTpad // st)
+            dia5 = jnp.zeros((ndiagP, st, nsup_s), dt)
+            touched = False
+            for g in p["groups"]:
+                if g["stride"] != st:
+                    continue
+                M = jax.lax.dynamic_slice_in_dim(
+                    vals, g["off"], g["n"] * g["k2"]) \
+                    .reshape(g["n"], g["k2"])
+                # static strided row slice for the period phase, then a
+                # row-granular take of the pattern columns (slice size =
+                # the contiguous value row, not an element gather)
+                V = jnp.take(M[g["p"]::g["P"], :].T, g["jsel"], axis=0)
+                V = jnp.pad(
+                    V, ((0, 0), (g["q0"], nsup_s - g["q0"] - g["cnt"])))
+                dia5 = dia5.at[g["dd"], g["col"], :].add(
+                    V, indices_are_sorted=True)
+                touched = True
+            if touched:
+                dia = dia + dia5.transpose(0, 2, 1) \
+                    .reshape(ndiagP, nsup_s * st)[:, :nTpad]
+        if p["left_tab"] is not None:
+            vals_p = jnp.concatenate([vals, jnp.zeros(1, dt)])
+            seg = vals_p[p["left_tab"]].sum(axis=1)
+            dia = dia.reshape(-1).at[p["left_u"]].add(
+                seg, indices_are_sorted=True,
+                unique_indices=True).reshape(ndiagP, nTpad)
+        # skew trick: D[b][r, c] = dia[c-r+2bs-1, b*bs+r] becomes a strided
+        # slice after flattening each block strip row-major
+        A = dia.reshape(ndiagP, nb, bs).transpose(1, 2, 0)  # (nb,bs,ndiagP)
+        width = 3 * bs - 2
+        # the strided-slice reads run to (2bs-1) + bs*width = bs*ndiagP
+        # + bs-1; pad the flattened strip so the slice stays in range
+        F = jnp.pad(A.reshape(nb, bs * ndiagP), ((0, 0), (0, bs - 1)))
+        D = F[:, 2 * bs - 1: 2 * bs - 1 + bs * width] \
+            .reshape(nb, bs, width)[:, :, :bs]
+        if nb > 1 and not self.block_diag:
+            L = F[:, bs - 1: bs - 1 + bs * width] \
+                .reshape(nb, bs, width)[:, :, :bs][1:]
+        else:
+            L = jnp.zeros((max(nb - 1, 1), bs, bs), dt)
+        return D, L
+
     def assemble(self, x, theta, lam, sigma, d, diag_extra):
         m = self.model
         # low-precision mode: the whole Hessian AD sweep AND the block
@@ -486,16 +690,41 @@ class BlockTridiagKKT:
                                          indices_are_sorted=True)
             return flat.reshape(shape)
 
-        L = (scat(self.L_take, self.L_dest, (max(nb - 1, 1), bs, bs),
-                  self.L_tab, self.L_u)
-             if (nb > 1 and not self.block_diag)
-             else jnp.zeros((max(nb - 1, 1), bs, bs), dt))
+        # DIA default is TPU-only: it exists to dodge the latency-bound
+        # TPU value gather (95 ms of the 110 ms assemble at quad-1000);
+        # on CPU the plain sorted scatter is ~35% faster per resolve.
+        # IXM_DIA_ASM=1 forces it anywhere (tests), =0 kills it.
+        env_dia = os.environ.get("IXM_DIA_ASM", "auto")
+        if env_dia == "auto":
+            try:
+                dia_on = jax.devices()[0].platform not in ("cpu", "gpu")
+            except Exception:
+                dia_on = False
+        else:
+            dia_on = env_dia != "0"
+        use_dia = self.mode == "band" and dia_on
+        if use_dia and self._dia_ok is None:
+            try:
+                self._dia = self._build_dia_plan()
+                self._dia_ok = self._dia is not None
+            except Exception:
+                self._dia, self._dia_ok = None, False
+        use_dia = use_dia and bool(self._dia_ok)
+
+        if use_dia:
+            D3, L = self._dia_blocks(vals, dt)
+            Dflat = D3.reshape(-1)
+        else:
+            L = (scat(self.L_take, self.L_dest, (max(nb - 1, 1), bs, bs),
+                      self.L_tab, self.L_u)
+                 if (nb > 1 and not self.block_diag)
+                 else jnp.zeros((max(nb - 1, 1), bs, bs), dt))
+            Dflat = scat(self.D_take, self.D_dest, (nb * bs * bs,),
+                         self.D_tab, self.D_u).reshape(-1)
         B = scat(self.B_take, self.B_dest, (self.nTpad, mB),
                  self.B_tab, self.B_u)
         C = scat(self.C_take, self.C_dest, (mB, mB),
                  self.C_tab, self.C_u)
-        Dflat = scat(self.D_take, self.D_dest, (nb * bs * bs,),
-                     self.D_tab, self.D_u).reshape(-1)
         Dflat = Dflat.at[self.diag_dest].add(
             diag_extra[self.diag_take].astype(dt),
             indices_are_sorted=True, unique_indices=True)

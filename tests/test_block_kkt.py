@@ -193,3 +193,73 @@ def test_gather_assembly_matches_scatter(monkeypatch):
     for a, b in zip(K1, K0):
         if a.size:
             assert float(jnp.max(jnp.abs(a - b))) == 0.0
+
+
+def test_dia_assembly_matches_scatter(monkeypatch):
+    """DIA (diagonal-form) assembly -- the TPU fast path that replaces
+    the latency-bound value gather with dense pads + a skew-trick
+    block extraction -- must produce the same K as the scatter path on
+    a collocation OCP (period-3 stencil runs + stride-2 coll_u
+    families exercise the multi-stride/multi-phase plan)."""
+    import jax
+    from infiniteexamodels_jl_tpu.models import quad
+
+    simd, _ = transcribe(quad(num_supports=40))
+    kkt = BlockTridiagKKT(simd)
+    assert kkt.usable and kkt.mode == "band"
+    x = jnp.asarray(simd.x0) + 0.01
+    th = jnp.asarray(simd.theta)
+    lam = jnp.linspace(0.5, 1.5, simd.ncon)
+    d = jnp.full(simd.ncon, 0.7)
+    de = jnp.full(simd.nvar, 0.3)
+
+    monkeypatch.setenv("IXM_DIA_ASM", "0")
+    K0 = jax.jit(lambda: kkt.assemble(x, th, lam, 1.0, d, de))()
+    monkeypatch.setenv("IXM_DIA_ASM", "1")
+    kkt._dia_ok = None              # re-evaluate the lazy plan
+    jax.clear_caches()              # env gate is read at trace time
+    K1 = jax.jit(lambda: kkt.assemble(x, th, lam, 1.0, d, de))()
+    plan = kkt._dia
+    assert plan is not None and plan["coverage"] > 0.95
+    assert len(plan["strides"]) >= 2       # stencil + coll_u strides
+    scale = float(jnp.max(jnp.abs(K0[0])))
+    for a, b in zip(K0, K1):
+        if a.size:
+            assert float(jnp.max(jnp.abs(a - b))) <= 1e-12 * scale
+
+    # f32 assembly takes the same plan (assemble_dtype is how the
+    # low-precision step sets request an f32-assembled K)
+    kkt32 = BlockTridiagKKT(simd, factor_dtype=jnp.float32)
+    kkt32.assemble_dtype = jnp.float32
+    monkeypatch.setenv("IXM_DIA_ASM", "0")
+    K0f = jax.jit(lambda: kkt32.assemble(x, th, lam, 1.0, d, de))()
+    monkeypatch.setenv("IXM_DIA_ASM", "1")
+    kkt32._dia_ok = None
+    jax.clear_caches()
+    K1f = jax.jit(lambda: kkt32.assemble(x, th, lam, 1.0, d, de))()
+    assert K1f[0].dtype == jnp.float32
+    for a, b in zip(K0f, K1f):
+        if a.size:
+            assert float(jnp.max(jnp.abs(a - b))) <= 1e-4 * scale
+
+
+def test_dia_assembly_full_solve(monkeypatch):
+    """A full IPM solve with DIA assembly forced on matches the scatter
+    path's certified objective (quad-30 oracle path)."""
+    from infiniteexamodels_jl_tpu.models import quad
+
+    results = {}
+    for v in ("0", "1"):
+        monkeypatch.setenv("IXM_DIA_ASM", v)
+        import jax
+
+        jax.clear_caches()
+        m = quad(num_supports=30)
+        b = ExaTranscriptionBackend(IpmSolver, linear_solver="auto",
+                                    print_level=0, tol=1e-6)
+        m.set_transformation_backend(b)
+        b.build(m)
+        results[v] = b.optimize(m)
+    assert results["1"].status == "first_order"
+    assert results["1"].objective == pytest.approx(
+        results["0"].objective, rel=1e-8)
