@@ -29,6 +29,43 @@ import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
 
+def _panel_chol(Dp):
+    """Unrolled batched Cholesky of small (nb, p, p) panels.
+
+    XLA's f64 cholesky on TPU runs double-double COLUMN LOOPS whose
+    per-iteration latency dwarfs the arithmetic at p=8 (device probe:
+    ~3-4 ms per (640,8,8) call); the same recursion unrolled into p
+    batched vector ops (sqrt, scale, rank-1 update) is bandwidth-trivial.
+    NaNs propagate from non-SPD panels exactly like the builtin."""
+    p = Dp.shape[-1]
+    ri = jnp.arange(p)
+    L = jnp.zeros_like(Dp)
+    for j in range(p):
+        ljj = jnp.sqrt(Dp[:, j, j])
+        col = Dp[:, :, j] / ljj[:, None]
+        col = jnp.where((ri > j)[None, :], col, 0.0)
+        col = col.at[:, j].set(ljj)
+        L = L.at[:, :, j].set(col)
+        Dp = Dp - col[:, :, None] * col[:, None, :]
+    return L
+
+
+def _panel_inv(L):
+    """Unrolled batched inverse of small (nb, p, p) lower-triangular
+    panels: forward substitution, one batched matvec per row (same
+    latency story as _panel_chol -- the builtin trisolve costs ~3.7 ms
+    per (640,8,8) call on this device)."""
+    p = L.shape[-1]
+    X = jnp.zeros_like(L)
+    for i in range(p):
+        # rows >= i of X are still zero, so the full-row product only
+        # picks up the j < i terms of the substitution
+        acc = jnp.einsum("bk,bkm->bm", L[:, i, :], X)
+        row = (-acc).at[:, i].add(1.0) / L[:, i, i][:, None]
+        X = X.at[:, i, :].set(row)
+    return X
+
+
 def blocked_chol_linv(D, panel=8):
     """Batched lower Cholesky ``D = L L^T`` plus explicit ``L^{-1}`` for
     (nb, n, n) SPD blocks, blocked so the hot work is batched matmuls.
@@ -48,7 +85,6 @@ def blocked_chol_linv(D, panel=8):
                                        lower=True)
     k = n // p
     dt = D.dtype
-    eye_p = jnp.broadcast_to(jnp.eye(p, dtype=dt), (nb, p, p))
     ri = jnp.arange(n)
     dus = jax.lax.dynamic_update_slice
     dsl = jax.lax.dynamic_slice
@@ -62,8 +98,8 @@ def blocked_chol_linv(D, panel=8):
         T, L, Ms = carry
         a = j * p
         Dkk = dsl(T, (0, a, a), (nb, p, p))
-        Ljj = jnp.linalg.cholesky(Dkk)
-        Mjj = jsl.solve_triangular(Ljj, eye_p, lower=True)
+        Ljj = _panel_chol(Dkk)
+        Mjj = _panel_inv(Ljj)
         Ms = dus(Ms, Mjj[None], (j, 0, 0, 0))
         colslab = dsl(T, (0, 0, a), (nb, n, p))
         L21 = jnp.einsum("bij,bkj->bik", colslab, Mjj)
