@@ -1,47 +1,51 @@
-"""Benchmark entry: prints ONE JSON line for the driver.
+"""Benchmark entry: prints driver-parseable JSON lines; the LAST line is
+the result.
 
 Primary metric (BASELINE.md headline): warm IPM iterations/s on the
 quadrotor OCP (band-structured KKT, block-cyclic-reduction factorization)
 on the tunneled TPU chip.  Remote-compile latency on this setup is
-minutes-scale and variable, so the harness is built to ALWAYS bank a
-number:
+minutes-scale and variable, AND the driver runs this script under an
+unknown external wall clock (r04 evidence: ``timeout`` SIGTERM-killed the
+process before any output).  Delivery is therefore continuous, not
+final-only (VERDICT r4 item 1):
 
+- a provisional result line is printed IMMEDIATELY at startup and
+  re-printed (upgraded) after every completed stage -- the driver parses
+  the last complete line, so a kill at ANY point yields the best banked
+  result;
+- SIGTERM/SIGINT handlers + atexit salvage milestones from any running
+  child, emit the best-so-far line, and exit cleanly;
 - every candidate runs in a timeboxed subprocess that appends milestone
-  JSON lines to a progress file (built / first_solve / final); a timeout
-  kills the child but the parent keeps the last milestone, so completed
-  work is never lost;
-- the cascade banks the cheapest certifiable config FIRST (quad-200,
-  f64-only step set: half the compile inventory of ir32), then spends the
-  remaining budget on upgrades with a retry ladder per size
-  (ir32 -> ir32 with the Pallas kernel disabled -> f64) so one failing
-  configuration never forfeits a scale;
-- a global wall-clock budget (IXM_BENCH_BUDGET, default 2700 s) bounds the
-  whole run so the final JSON line is always emitted;
-- warm iter/s comes from the solver's own first_chunk/step_total timer
-  split of a CONVERGED solve (compile + cache-miss cost is isolated in the
-  first 32-iteration chunk), confirmed by a full warm re-solve when the
-  child has time left.
+  JSON lines to a progress file (built / first_solve / resolved / final);
+  a timeout kills the child but the parent keeps the last milestone;
+- the host-CPU reference (quad-1000, the framework's own Ipopt-role path)
+  starts CONCURRENTLY with the device probe, so a certified CPU number
+  exists within ~60 s even when the tunnel is cold or down;
+- the cascade banks the cheapest certifiable device config FIRST
+  (quad-200 f64), then the headline size with a retry ladder
+  (mixed -> ir32 -> f64) so one failing configuration never forfeits a
+  scale; a global budget (IXM_BENCH_BUDGET) bounds clean completion;
+- warm iter/s comes from a full warm re-solve (all modules compiled), or
+  the solver's first_chunk/step_total timer split when the child deadline
+  cuts the re-solve.
 
-``vs_baseline`` is measured, not invented: each certified problem size is
-re-solved by the same solver on the host CPU backend (the framework's own
-Ipopt-role reference path, f64) and the ratio is TPU iter/s over CPU
-iter/s.  CPU references run CONCURRENTLY with later device stages (the
-device child is tunnel-bound, the CPU child is host-bound).  The HEADLINE
-is the certified device result with the best vs_baseline (reference-role:
-ESCAPE34/utils.jl:3-33 compact per-run stats); every certified size is
-reported as its own entry under detail["metrics"].
+``vs_baseline`` is measured, not invented: each certified device size is
+re-solved by the same solver on the host CPU backend and the ratio is TPU
+iter/s over CPU iter/s.  The HEADLINE is the certified device result with
+the best vs_baseline (reference-role: ESCAPE34/utils.jl:3-33 compact
+per-run stats); every certified size is reported under detail["metrics"].
 
-Output contract (VERDICT r3 item 1): the final line is scalars-only, all
-error strings truncated, and hard-capped at 1500 chars -- if the full
-detail would exceed that, stages are shrunk to status-only and finally the
-detail is dropped; the untruncated detail always goes to stderr and to
-BENCH_DETAIL.json next to this file.
+Output contract (VERDICT r3 item 1): each emitted line is scalars-only,
+error strings truncated, hard-capped at 1500 chars; the untruncated
+detail always goes to BENCH_DETAIL.json next to this file.
 
 Set IXM_BENCH_OPF=0 to skip the budget-gated 1000-scenario stochastic
 AC-OPF stage (batched scenario KKT, runs when budget remains).
 """
+import atexit
 import json
 import os
+import signal
 import subprocess
 import sys
 import tempfile
@@ -69,7 +73,10 @@ except Exception:
     pass
 
 RUN_OPF = os.environ.get("IXM_BENCH_OPF", "1") != "0"
-BUDGET_S = int(os.environ.get("IXM_BENCH_BUDGET", "2700"))
+# r04 evidence: 2700 s + probe did NOT fit the driver's wall clock.  The
+# budget now only bounds *clean* completion; kills at any time are safe
+# because the best-so-far line is already on stdout.
+BUDGET_S = int(os.environ.get("IXM_BENCH_BUDGET", "2100"))
 # stage timeouts (each additionally clipped to the remaining global budget)
 BANK_TIMEOUT_S = int(os.environ.get("IXM_BENCH_BANK_TIMEOUT", "700"))
 QUAD_TIMEOUT_S = int(os.environ.get("IXM_BENCH_QUAD_TIMEOUT", "900"))
@@ -188,11 +195,15 @@ def child(kind, size, platform, fdtype):
 # ----------------------------------------------------------------------
 # parent: async child management with milestone recovery
 # ----------------------------------------------------------------------
+ACTIVE_RUNS = []     # Run objects whose child may still be alive
+
+
 class Run:
     def __init__(self, kind, size, timeout, platform="device",
                  fdtype="float64", pallas=None):
+        self.kind, self.size, self.platform = kind, size, platform
         self.spec = f"{kind}{size}_{platform}_{fdtype}"
-        self.timeout = min(timeout, max(remaining() - 20, 0))
+        self.timeout = min(timeout, max(remaining() - 20, 60))
         self.deadline = time.time() + self.timeout
         fd, self.progress = tempfile.mkstemp(suffix=".jsonl",
                                              prefix="ixm_bench_")
@@ -208,6 +219,7 @@ class Run:
             stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
             text=True, env=env)
         self._result = None
+        ACTIVE_RUNS.append(self)
 
     def _read_milestones(self):
         last = None
@@ -253,7 +265,17 @@ class Run:
         except OSError:
             pass
         self._result = r
+        if self in ACTIVE_RUNS:
+            ACTIVE_RUNS.remove(self)
         return r
+
+    def poll(self):
+        """Non-blocking: result if the child has exited, else None."""
+        if self._result is not None:
+            return self._result
+        if self.proc.poll() is None and time.time() < self.deadline:
+            return None
+        return self.wait()
 
 
 def run_sync(kind, size, timeout, platform="device", fdtype="float64",
@@ -265,12 +287,11 @@ def device_available(timeout=300):
     """Health probe of the tunneled TPU in a subprocess.  The tunnel is
     observed to go UNAVAILABLE for stretches (backend init then hangs
     minutes before erroring); a solve attempt during such a window would
-    eat the whole cascade budget.  Two-phase probe (ADVICE r3): backend
-    init prints a marker, then a compiled 8x8 matmul runs.  A completed
-    matmul is a definitive yes; a timeout AFTER the init marker appeared
-    is treated as available-with-cold-cache (even a trivial matmul pays
-    the minutes-scale remote-compile latency when the cache is cold); a
-    timeout with no marker means the tunnel is down."""
+    eat the whole cascade budget.  Two-phase probe: backend init prints a
+    marker, then a compiled 8x8 matmul runs.  Only a completed matmul
+    counts as available (VERDICT r4 weak #6: an init-ok-but-exec-hung
+    tunnel must NOT start the cascade; measured healthy-tunnel cold exec
+    of this matmul is ~3 s, so 300 s covers any honest cold cache)."""
     code = ("import jax\n"
             "ds = jax.devices()\n"
             "assert ds and ds[0].platform != 'cpu', ds\n"
@@ -290,7 +311,7 @@ def device_available(timeout=300):
                 pass
         with open(path) as f:
             text = f.read()
-        return "exec_ok" in text or "init_ok" in text
+        return "exec_ok" in text
     except Exception:
         return False
     finally:
@@ -301,13 +322,21 @@ def device_available(timeout=300):
 
 
 # ----------------------------------------------------------------------
-# final-line emission: compact, capped, driver-parseable (VERDICT r3 #1)
+# continuous emission: the driver parses the LAST complete stdout line,
+# so the current best result is (re-)printed after every state change and
+# on SIGTERM/exit (VERDICT r4 item 1).  Lines are compact, capped at
+# 1500 chars (VERDICT r3 item 1); full detail goes to BENCH_DETAIL.json.
 # ----------------------------------------------------------------------
 _KEEP_KEYS = ("kind", "size", "platform", "factor_dtype", "pallas", "nvar",
               "ncon", "build_s", "status", "iters", "objective",
               "first_solve_s", "first_chunk_s", "iters_per_s", "resolve_s",
               "milestone", "vs_baseline", "timed_out_after_s")
 _MINI_KEYS = ("status", "iters_per_s", "vs_baseline")
+
+DETAIL = {}          # label -> stage result dict (everything attempted)
+CERTIFIED = {}       # label -> certified device result with a warm rate
+CPU_RATES = {}       # (kind, size) -> certified host-CPU iter/s
+CPU_FALLBACK = None  # best certified host-CPU result dict
 
 
 def _compact(r, keys=_KEEP_KEYS, errors=True):
@@ -328,9 +357,8 @@ def _compact(r, keys=_KEEP_KEYS, errors=True):
     return out
 
 
-def emit_final(metric, value, vs, detail):
-    """Print the one driver line, hard-capped at 1500 chars; full detail
-    goes to stderr + BENCH_DETAIL.json unconditionally."""
+def _print_line(metric, value, vs, detail):
+    """One capped driver line to stdout (flushed: kills must not eat it)."""
     side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_DETAIL.json")
     try:
@@ -338,8 +366,6 @@ def emit_final(metric, value, vs, detail):
             json.dump(detail, f, indent=1)
     except Exception:
         pass
-    print(json.dumps({"full_detail": detail})[:20000], file=sys.stderr)
-
     head = {"metric": metric, "value": value, "unit": "iter/s",
             "vs_baseline": vs}
     metrics = detail.get("metrics")
@@ -359,38 +385,135 @@ def emit_final(metric, value, vs, detail):
         line = json.dumps(payload)
         if len(line) < 1500:
             break
-    assert len(line) < 1500, len(line)
-    print(line)
+    print(line[:1499], flush=True)
+
+
+def emit_best():
+    """Recompute the headline from current global state and print it.
+
+    Preference order: certified device run with best vs_baseline (ties ->
+    larger size) > uncertified device rate (flagged) > certified host-CPU
+    fallback (flagged) > zero.
+    """
+    metrics = {}
+    for label, r in CERTIFIED.items():
+        ref = CPU_RATES.get((r["kind"], r["size"]))
+        r["vs_baseline"] = round(r["iters_per_s"] / ref, 3) if ref else 0.0
+        metrics[label] = {"value": r["iters_per_s"],
+                          "vs_baseline": r["vs_baseline"]}
+    if metrics:
+        DETAIL["metrics"] = metrics
+    if CERTIFIED:
+        label = max(CERTIFIED,
+                    key=lambda k: (CERTIFIED[k]["vs_baseline"],
+                                   CERTIFIED[k]["size"]))
+        best = CERTIFIED[label]
+        _print_line(f"{best['kind']}{best['size']}_ipm_iterations_per_s",
+                    best["iters_per_s"], best["vs_baseline"], DETAIL)
+        return
+    cand = [r for r in DETAIL.values()
+            if isinstance(r, dict) and r.get("iters_per_s")
+            and r.get("platform") == "device"]
+    if cand:
+        best = max(cand, key=lambda r: r["iters_per_s"])
+        _print_line(f"{best['kind']}{best['size']}"
+                    "_ipm_iterations_per_s_UNCERTIFIED",
+                    best["iters_per_s"], 0.0, DETAIL)
+        return
+    if CPU_FALLBACK:
+        r = CPU_FALLBACK
+        _print_line(f"{r['kind']}{r['size']}"
+                    "_ipm_iterations_per_s_CPU_FALLBACK",
+                    r["iters_per_s"], 0.0, DETAIL)
+        return
+    _print_line("ipm_iterations_per_s", 0.0, 0.0,
+                DETAIL or {"note": "provisional: bench starting"})
+
+
+def _absorb_cpu(key, r):
+    """Record a finished host-CPU reference run."""
+    global CPU_FALLBACK
+    DETAIL[f"cpu_{key[0]}{key[1]}"] = r
+    if certified(r) and r.get("iters_per_s"):
+        CPU_RATES[key] = r["iters_per_s"]
+        if CPU_FALLBACK is None or (key[0] == "quad"
+                                    and key[1] >= CPU_FALLBACK["size"]):
+            CPU_FALLBACK = r
+
+
+_DYING = False
+
+
+def _salvage_and_exit(signum=None, frame=None):
+    """SIGTERM/SIGINT: bank whatever running children have milestoned,
+    print the best line, kill children, exit 0.  The driver's wall-clock
+    kill lands here instead of silencing the whole run (r04 failure)."""
+    global _DYING
+    if _DYING:
+        os._exit(0)
+    _DYING = True
+    for run in list(ACTIVE_RUNS):
+        try:
+            r = run._read_milestones()
+            if r and r.get("iters_per_s"):
+                if run.platform == "cpu":
+                    _absorb_cpu((run.kind, run.size), r)
+                else:
+                    DETAIL[run.spec + "_salvaged"] = r
+                    if certified(r):
+                        CERTIFIED[run.spec + "_salvaged"] = r
+            run.proc.kill()
+        except Exception:
+            pass
+    try:
+        emit_best()
+    finally:
+        os._exit(0)
 
 
 def main():
-    detail = {}
+    signal.signal(signal.SIGTERM, _salvage_and_exit)
+    signal.signal(signal.SIGINT, _salvage_and_exit)
+    # unhandled exceptions / normal return both re-print the best line
+    atexit.register(emit_best)
+    # a complete (zero) line exists from the first seconds; every later
+    # emission upgrades it
+    emit_best()
 
-    if not device_available():
-        # tunnel down: report the host-CPU path (the framework's own
-        # Ipopt-role reference) as an honestly-labeled fallback metric
-        cpu = run_sync("quad", 1000, min(CPU_TIMEOUT_S, remaining()),
-                       platform="cpu")
-        flag = "" if certified(cpu) else "_UNCERTIFIED"
-        detail["cpu_fallback"] = cpu
-        emit_final(f"quad1000_ipm_iterations_per_s_CPU_FALLBACK{flag}",
-                   cpu.get("iters_per_s") or 0.0, 0.0,
-                   {"error": "tpu tunnel unavailable", **detail})
+    cpu_refs = {}           # (kind, size) -> Run
+    # the host-CPU reference starts immediately and runs CONCURRENTLY with
+    # the device probe: a certified CPU number exists within ~60 s
+    cpu_refs[("quad", 1000)] = Run("quad", 1000, CPU_TIMEOUT_S,
+                                   platform="cpu")
+
+    def join_cpu(block=False):
+        for key, run in list(cpu_refs.items()):
+            r = run.wait() if block else run.poll()
+            if r is not None:
+                del cpu_refs[key]
+                _absorb_cpu(key, r)
+
+    avail = device_available()
+    join_cpu(block=not avail)
+    emit_best()
+    if not avail:
+        DETAIL["error"] = "tpu tunnel unavailable"
+        emit_best()
         return
 
-    certified_runs = {}     # label -> device result (certified, has rate)
-    cpu_refs = {}           # (kind,size) -> Run
-
     def bank(r, label):
-        detail[label] = r
-        if "error" in r or not certified(r) or not r.get("iters_per_s"):
-            return False
-        key = (r["kind"], r["size"])
-        if key not in cpu_refs:
-            cpu_refs[key] = Run(r["kind"], r["size"], CPU_TIMEOUT_S,
-                                platform="cpu")
-        certified_runs[label] = r
-        return True
+        DETAIL[label] = r
+        ok = ("error" not in r and certified(r)
+              and bool(r.get("iters_per_s")))
+        if ok:
+            key = (r["kind"], r["size"])
+            if key not in cpu_refs and key not in CPU_RATES:
+                cpu_refs[key] = Run(r["kind"], r["size"], CPU_TIMEOUT_S,
+                                    platform="cpu")
+            CERTIFIED[label] = r
+        join_cpu()
+        emit_best()
+        return ok
 
     def ladder(kind, size, timeout, label, rungs):
         """Retry ladder: first certifying rung wins the size."""
@@ -416,8 +539,9 @@ def main():
             ("f64", "float64", None)])
 
     # Stage A' -- cascade insurance if nothing banked yet
-    if not certified_runs and remaining() > 180:
-        bank(run_sync("hovercraft", 201, BANK_TIMEOUT_S), "hovercraft201_f64")
+    if not CERTIFIED and remaining() > 180:
+        bank(run_sync("hovercraft", 201, BANK_TIMEOUT_S),
+             "hovercraft201_f64")
 
     # Stage C -- reference-scale attempt (reference sweeps quadrotor to
     # 16k, run_cases_cpu.jl:103-105); same retry ladder so one crashing
@@ -425,7 +549,7 @@ def main():
     # quad-2000 (also a reference sweep size) is the fallback: the tunnel
     # WORKER was observed to crash on 4000-scale solves for a whole day
     # (reproduced on a previously-certified commit -- infra, not code).
-    if certified_runs and remaining() > 420:
+    if CERTIFIED and remaining() > 420:
         big = ladder("quad", 4000, BIG_TIMEOUT_S, "quad4000",
                      [("mixed", "mixed", None),
                       ("f64", "float64", None)])
@@ -436,48 +560,12 @@ def main():
 
     # Stage D -- stochastic AC-OPF on the scenario-sharded KKT (reference
     # GPU sweep parity, run_cases_gpu.jl:90-92); budget-gated.
-    if RUN_OPF and certified_runs and remaining() > 300:
+    if RUN_OPF and CERTIFIED and remaining() > 300:
         bank(run_sync("opf", 1000, OPF_TIMEOUT_S, fdtype="mixed"),
              "opf1000_mixed")
 
-    if not certified_runs:
-        # nothing certified: surface the best uncertified device rate
-        # (explicitly flagged) rather than a bare zero
-        cand = [r for r in detail.values()
-                if isinstance(r, dict) and r.get("iters_per_s")]
-        if cand:
-            best = max(cand, key=lambda r: r["iters_per_s"])
-            emit_final(f"{best['kind']}{best['size']}"
-                       "_ipm_iterations_per_s_UNCERTIFIED",
-                       best["iters_per_s"], 0.0, detail)
-        else:
-            emit_final("ipm_iterations_per_s", 0.0, 0.0, detail)
-        return
-
-    # join the CPU references and attach per-size ratios
-    cpu_rates = {}
-    for key, run in cpu_refs.items():
-        cpu = run.wait()
-        detail[f"cpu_{key[0]}{key[1]}"] = cpu
-        if certified(cpu) and cpu.get("iters_per_s"):
-            cpu_rates[key] = cpu["iters_per_s"]
-    metrics = {}
-    for label, r in certified_runs.items():
-        ref = cpu_rates.get((r["kind"], r["size"]))
-        r["vs_baseline"] = round(r["iters_per_s"] / ref, 3) if ref else 0.0
-        metrics[label] = {"value": r["iters_per_s"],
-                          "vs_baseline": r["vs_baseline"]}
-    detail["metrics"] = metrics
-
-    # headline: best vs_baseline among certified device runs (ties ->
-    # larger problem); never bury a winning ratio under a losing one
-    # at a bigger size (VERDICT r3 item 8)
-    best_label = max(certified_runs,
-                     key=lambda k: (certified_runs[k]["vs_baseline"],
-                                    certified_runs[k]["size"]))
-    best = certified_runs[best_label]
-    emit_final(f"{best['kind']}{best['size']}_ipm_iterations_per_s",
-               best["iters_per_s"], best["vs_baseline"], detail)
+    join_cpu(block=True)
+    emit_best()
 
 
 if __name__ == "__main__":
