@@ -379,3 +379,40 @@ def test_consts_cache_invalidation():
     r1 = b.optimize(mdl)
     assert r1.status == "first_order"
     assert r1.objective == pytest.approx(r0.objective, rel=1e-6)
+
+
+def test_restore_objective_guard():
+    """Best-iterate tracker objective sanity (VERDICT r4 weak #5): a
+    near-KKT iterate whose objective sits far above the best feasible-ish
+    objective seen must neither be stored for restore nor counted as a
+    near-optimal visit -- on the degenerate pandemic grids such points are
+    spurious stationary points on an unbounded multiplier ray."""
+    import jax.numpy as jnp
+
+    core = Core()
+    x = core.add_var((2,), start=np.array([3.0, 1.0]), lvar=0.0)
+    core.add_obj(abs2(x[0] - 1.0) + abs2(x[1] - 2.0))
+    core.add_con(x[0] + x[1], lcon=1.0, ucon=np.inf)
+    m = core.build()
+    s = IpmSolver(m, print_level=0, tol=1e-8)
+    consts = s._compute_consts(m.theta, m)
+    st = s._init_jit(m.x0, m.y0, consts)
+    for _ in range(12):
+        st = s._step_jit(st, consts)
+    assert int(st.status) == 1            # converged: iterate is near-KKT
+    # accept branch: at convergence the stored best is the real optimum
+    # and respects the evolving objective bound
+    assert float(st.best_E) < 1e-6
+    bound = float(st.feas_fobj) + 0.1 * max(1.0, abs(float(st.feas_fobj)))
+    assert float(st.best_fobj) <= bound
+
+    # reject branch: replay the final (near-KKT) step against a sabotaged
+    # state claiming a far lower feasible objective was already seen; the
+    # same iterate must now be rejected -- stale best dropped (E -> inf),
+    # no new best stored, and the visit counter frozen
+    sab = st._replace(status=jnp.asarray(0, jnp.int32),
+                      feas_fobj=jnp.asarray(-1e3, st.feas_fobj.dtype),
+                      acc_visits=jnp.asarray(0, jnp.int32))
+    st2 = s._step_jit(sab, consts)
+    assert not np.isfinite(float(st2.best_E))
+    assert int(st2.acc_visits) == 0
