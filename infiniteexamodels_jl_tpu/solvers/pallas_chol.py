@@ -87,6 +87,72 @@ def _chol_inv_kernel(a_ref, l_ref, linv_ref):
     linv_ref[:] = X
 
 
+def _chol_inv_kernel2(a_ref, l_ref, linv_ref):
+    """One grid program: Cholesky + L^{-1} of a single (n, n) block.
+
+    Rank-2 re-layout of ``_chol_inv_kernel`` (VERDICT r4 item 6): the
+    batch axis is the Pallas GRID and every ref is a squeezed (n, n)
+    block, because this machine's Mosaic toolchain rejects ALL rank-3
+    refs ("failed to legalize func.return") while rank-2 kernels compile
+    and run.  Same masked right-looking column loop + masked forward
+    substitution, one axis reduced at a time (multi-axis reduces crash
+    Mosaic), i32 loop bounds (i64 induction recurses in Mosaic's
+    convert_element_type helper).
+    """
+    M = a_ref[:]
+    n, _ = M.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)   # (1, n)
+
+    def chol_step(j, M):
+        pj = jnp.sum(jnp.sum(jnp.where((row == j) & (col == j), M, 0.0),
+                             axis=1), axis=0)                # scalar
+        d = jnp.sqrt(pj)
+        cfull = jnp.sum(jnp.where(col == j, M, 0.0), axis=1)  # (n,)
+        colv = jnp.where(k_ids[0] > j, cfull / d, 0.0)
+        colv = jnp.where(k_ids[0] == j, d, colv)              # final L col
+        upd = colv[:, None] * colv[None, :]
+        M = M - jnp.where((row > j) & (col > j), upd, 0.0)
+        return jnp.where(col == j, colv[:, None], M)
+
+    M = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), chol_step, M)
+    L = jnp.where(row >= col, M, 0.0)
+    l_ref[:] = L
+
+    diag = jnp.sum(jnp.where(row == col, L, 0.0), axis=1)     # (n,)
+
+    def inv_step(i, X):
+        lrow = jnp.sum(jnp.where(row == i, L, 0.0), axis=0)   # (n,)
+        lrow = jnp.where(k_ids[0] == i, 0.0, lrow)
+        di = jnp.sum(jnp.where(k_ids[0] == i, diag, 0.0))     # scalar
+        s = jnp.sum(lrow[:, None] * X, axis=0)                # (n,)
+        e = jnp.where(k_ids[0] == i, 1.0, 0.0)                # (n,)
+        xrow = (e - s) / di
+        return jnp.where(row == i, xrow[None, :], X)
+
+    X = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), inv_step,
+                          jnp.zeros((n, n), M.dtype))
+    linv_ref[:] = X
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _chol_inv_call2(D, interpret=False):
+    nb, n, _ = D.shape
+    sq = pl.BlockSpec((None, n, n), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _chol_inv_kernel2,
+        grid=(nb,),
+        in_specs=[sq],
+        out_specs=(sq, sq),
+        out_shape=(jax.ShapeDtypeStruct((nb, n, n), D.dtype),
+                   jax.ShapeDtypeStruct((nb, n, n), D.dtype)),
+        interpret=interpret,
+    )(D)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _chol_inv_call(D, interpret=False):
     nb, n, _ = D.shape
@@ -118,17 +184,24 @@ def _chol_inv_call(D, interpret=False):
     return out[0][:nb], out[1][:nb]
 
 
-def chol_linv_pallas(D, interpret=False):
+def chol_linv_pallas(D, interpret=False, layout=None):
     """Batched ``D = L L^T`` and ``L^{-1}`` via the fused Pallas kernel.
 
     ``D``: (nb, n, n) float32, SPD per block.  Returns ``(L, Linv, ok)``
     with the same contract as ``block_tridiag._chol_linv`` (``ok`` is the
     finiteness certificate the IPM's regularization loop keys on: a
     non-SPD block yields sqrt(<0) = NaN which propagates into L^{-1}).
+
+    ``layout``: "rank2" (default; batch axis = grid, squeezed (n, n)
+    refs -- the only form this machine's Mosaic accepts) or "rank3"
+    (chunked (G, n, n) refs; kept for toolchains that take them).
     """
     if D.ndim != 3 or D.shape[-1] != D.shape[-2]:
         raise ValueError(f"expected (nb, n, n) blocks, got {D.shape}")
-    L, Linv = _chol_inv_call(D, interpret=bool(interpret))
+    if layout is None:
+        layout = os.environ.get("IXM_PALLAS_LAYOUT", "rank2")
+    call = _chol_inv_call2 if layout == "rank2" else _chol_inv_call
+    L, Linv = call(D, interpret=bool(interpret))
     return L, Linv, jnp.all(jnp.isfinite(Linv))
 
 

@@ -21,10 +21,12 @@ def _spd_batch(nb, n, seed=0):
     return (A @ A.transpose(0, 2, 1) + n * np.eye(n, dtype=np.float32))
 
 
+@pytest.mark.parametrize("layout", ["rank2", "rank3"])
 @pytest.mark.parametrize("nb,n", [(1, 8), (3, 16), (17, 24)])
-def test_matches_xla_cholesky(nb, n):
+def test_matches_xla_cholesky(nb, n, layout):
     D = _spd_batch(nb, n)
-    L, Linv, ok = chol_linv_pallas(jnp.asarray(D), interpret=True)
+    L, Linv, ok = chol_linv_pallas(jnp.asarray(D), interpret=True,
+                                   layout=layout)
     assert bool(ok)
     Lx = np.linalg.cholesky(D.astype(np.float64))
     # f32 kernel vs f64 reference: tolerance scaled to f32 conditioning
