@@ -76,12 +76,19 @@ RUN_OPF = os.environ.get("IXM_BENCH_OPF", "1") != "0"
 # r04 evidence: 2700 s + probe did NOT fit the driver's wall clock.  The
 # budget now only bounds *clean* completion; kills at any time are safe
 # because the best-so-far line is already on stdout.
-BUDGET_S = int(os.environ.get("IXM_BENCH_BUDGET", "2100"))
-# stage timeouts (each additionally clipped to the remaining global budget)
-BANK_TIMEOUT_S = int(os.environ.get("IXM_BENCH_BANK_TIMEOUT", "700"))
-QUAD_TIMEOUT_S = int(os.environ.get("IXM_BENCH_QUAD_TIMEOUT", "900"))
-BIG_TIMEOUT_S = int(os.environ.get("IXM_BENCH_BIG_TIMEOUT", "900"))
-OPF_TIMEOUT_S = int(os.environ.get("IXM_BENCH_OPF_TIMEOUT", "700"))
+BUDGET_S = int(os.environ.get("IXM_BENCH_BUDGET", "2400"))
+# stage timeouts (each additionally clipped to the remaining global
+# budget).  They must EXCEED the cold remote-compile time of their stage:
+# a child killed mid-compile banks nothing AND leaves nothing in the
+# persistent cache, so the retry restarts from zero (measured r5: the
+# quad-200 f64 step set alone exceeded a 700 s timeout on a cold cache).
+# With a warm cache every stage runs in ~1-2 min and the timeouts are
+# irrelevant; with a cold cache the continuous emission keeps any
+# driver-wall kill safe.
+BANK_TIMEOUT_S = int(os.environ.get("IXM_BENCH_BANK_TIMEOUT", "1200"))
+QUAD_TIMEOUT_S = int(os.environ.get("IXM_BENCH_QUAD_TIMEOUT", "1800"))
+BIG_TIMEOUT_S = int(os.environ.get("IXM_BENCH_BIG_TIMEOUT", "1200"))
+OPF_TIMEOUT_S = int(os.environ.get("IXM_BENCH_OPF_TIMEOUT", "900"))
 CPU_TIMEOUT_S = int(os.environ.get("IXM_BENCH_CPU_TIMEOUT", "500"))
 
 T0 = time.time()
@@ -525,18 +532,38 @@ def main():
                 return True
         return False
 
-    # Stage A -- bank the cheapest certifiable config, f64-only step set
-    # (half the remote-compile inventory of ir32).
-    bank(run_sync("quad", 200, BANK_TIMEOUT_S), "quad200_f64")
+    # Stage order is cache-aware: on a WARM persistent cache every stage
+    # runs in minutes and the cheap quad-200 insurance goes first; on a
+    # COLD cache only ~one stage fits under the driver's wall at all, so
+    # the headline quad-1000 gets the whole runway first (a cert at any
+    # size beats insurance that eats the budget).
+    try:
+        warm_cache = len(os.listdir(_cache)) >= 20
+    except OSError:
+        warm_cache = False
 
-    # Stage B -- the headline size.  Retry ladder ordered by measured
-    # round-4 warm rates (mixed 1.838 > ir32+mu-switch 1.349 > f64-blocked
-    # 1.52 it/s -- f64 last because it shares its endgame with mixed, so a
-    # mixed failure usually implicates it too).
-    ladder("quad", 1000, QUAD_TIMEOUT_S, "quad1000",
-           [("mixed", "mixed", None),
-            ("ir32", "ir32", None),
-            ("f64", "float64", None)])
+    def stage_a():
+        # cheapest certifiable config, f64-only step set (half the
+        # remote-compile inventory of ir32)
+        bank(run_sync("quad", 200, BANK_TIMEOUT_S), "quad200_f64")
+
+    def stage_b():
+        # the headline size.  Retry ladder ordered by measured round-4
+        # warm rates (mixed 1.838 > ir32+mu-switch 1.349 > f64-blocked
+        # 1.52 it/s -- f64 last because it shares its endgame with mixed,
+        # so a mixed failure usually implicates it too).
+        ladder("quad", 1000, QUAD_TIMEOUT_S, "quad1000",
+               [("mixed", "mixed", None),
+                ("ir32", "ir32", None),
+                ("f64", "float64", None)])
+
+    if warm_cache:
+        stage_a()
+        stage_b()
+    else:
+        stage_b()
+        if remaining() > 300:
+            stage_a()
 
     # Stage A' -- cascade insurance if nothing banked yet
     if not CERTIFIED and remaining() > 180:
@@ -549,9 +576,13 @@ def main():
     # quad-2000 (also a reference sweep size) is the fallback: the tunnel
     # WORKER was observed to crash on 4000-scale solves for a whole day
     # (reproduced on a previously-certified commit -- infra, not code).
+    # ir32 is the memory-pressure rung: it assembles K in f32, halving
+    # the large per-block buffers -- the right retry when the tunnel
+    # worker dies at scale rather than in a numeric failure.
     if CERTIFIED and remaining() > 420:
         big = ladder("quad", 4000, BIG_TIMEOUT_S, "quad4000",
                      [("mixed", "mixed", None),
+                      ("ir32", "ir32", None),
                       ("f64", "float64", None)])
         if not big and remaining() > 420:
             ladder("quad", 2000, BIG_TIMEOUT_S, "quad2000",
