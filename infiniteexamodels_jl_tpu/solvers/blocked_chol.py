@@ -88,6 +88,11 @@ def blocked_chol_linv(D, panel=8):
     ri = jnp.arange(n)
     dus = jax.lax.dynamic_update_slice
     dsl = jax.lax.dynamic_slice
+    # Ozaki-sliced exact products for the full-width matmuls: on TPU the
+    # emulated-f64 matmul is the factorization's dominant cost; the slice
+    # products run on the f32 MXU with exact accumulation (contraction
+    # lengths p=8 / n<=128 stay under the 2^24 exactness bound)
+    use_oz = dt == jnp.float64 and n <= 128 and ozaki_factor_enabled(dt)
 
     # -- right-looking factor as a fori_loop over p-column panels:
     # full-width masked slabs keep every shape static, so the traced
@@ -109,7 +114,10 @@ def blocked_chol_linv(D, panel=8):
         L = dus(L, colwrite, (0, 0, a))
         # trailing Schur update: L21 is zero outside rows >= a+p, so the
         # full-width Gram product touches exactly the trailing block
-        T = T - jnp.einsum("bip,bjp->bij", L21, L21)
+        if use_oz:
+            T = T - ozaki_gram(L21)
+        else:
+            T = T - jnp.einsum("bip,bjp->bij", L21, L21)
         return T, L, Ms
 
     _, L, Ms = jax.lax.fori_loop(
@@ -123,7 +131,10 @@ def blocked_chol_linv(D, panel=8):
         Mii = Ms[i]
         Lrows = dsl(L, (0, a, 0), (nb, p, n))
         Lrows = jnp.where((ri < a)[None, None, :], Lrows, 0.0)
-        acc = jnp.einsum("bpn,bnm->bpm", Lrows, X)
+        if use_oz:
+            acc = ozaki_mm_pn_nm(Lrows, X)
+        else:
+            acc = jnp.einsum("bpn,bnm->bpm", Lrows, X)
         rowwrite = dus(-jnp.einsum("bpq,bqm->bpm", Mii, acc),
                        Mii, (0, 0, a))
         return dus(X, rowwrite, (0, a, 0))
@@ -167,6 +178,60 @@ def ozaki_slices(A, axis):
         slices.append((R - Rprev * (2.0 ** w)).astype(jnp.float32))
         Rprev = R
     return jnp.stack(slices), s
+
+
+def _oz_pair_contract(SA, SB, einstr):
+    """Σ_lvl 2^-(w(lvl+2)) Σ_{i+j=lvl} einsum(einstr, SA_i, SB_j), f64.
+
+    The pairwise slice products accumulate EXACTLY in f32 (integer slice
+    values < 2^9, contraction length <= 128 lanes keeps partial sums
+    < 2^24); cross-pair and cross-level sums run on the f64 result --
+    the same truncation (~2^-54 relative) as ``ozaki_bmv``."""
+    out = None
+    for lvl in range(_OZ_K):
+        acc = None
+        for i in range(lvl + 1):
+            t = jnp.einsum(einstr, SA[i],
+                           SB[lvl - i]).astype(jnp.float64)
+            acc = t if acc is None else acc + t
+        term = acc * (2.0 ** (-_OZ_W * (lvl + 2)))
+        out = term if out is None else out + term
+    return out
+
+
+def ozaki_gram(A):
+    """Exact-f64 batched Gram ``A @ A^T`` ((nb, n, p) -> (nb, n, n)) from
+    f32 MXU slice products -- the Schur trailing update of the blocked
+    factorization, its single dominant emulated-f64 matmul."""
+    SA, sA = ozaki_slices(A, axis=-1)
+    C = _oz_pair_contract(SA, SA, "bip,bjp->bij")
+    return C * sA * jnp.swapaxes(sA, -1, -2)
+
+
+def ozaki_mm_pn_nm(A, B):
+    """Exact-f64 batched matmul ``A @ B`` for (nb, p, n) x (nb, n, m)
+    (the blocked inverse's row-block substitution product)."""
+    SA, sA = ozaki_slices(A, axis=-1)          # (k, nb, p, n), (nb, p, 1)
+    SB, sB = ozaki_slices(B, axis=1)           # (k, nb, n, m), (nb, 1, m)
+    C = _oz_pair_contract(SA, SB, "bpn,bnm->bpm")
+    return C * sA * sB
+
+
+def ozaki_factor_enabled(dtype) -> bool:
+    """Run the blocked factorization's full-width matmuls (Schur gram,
+    panel-column transform, inverse substitution) through Ozaki-sliced
+    exact f32 products on TPU-f64 (IXM_OZAKI_FACTOR=0 kills, =1 forces
+    for CPU tests).  Accuracy is ~2^-54 relative per product -- the same
+    grade as the emulated-f64 matmuls it replaces."""
+    env = os.environ.get("IXM_OZAKI_FACTOR", "auto")
+    if env == "0" or jnp.dtype(dtype) != jnp.float64:
+        return False
+    if env == "1":
+        return True
+    try:
+        return jax.devices()[0].platform not in ("cpu", "gpu")
+    except Exception:
+        return False
 
 
 def ozaki_bmv(SA, sA, v):

@@ -114,3 +114,24 @@ def test_ozaki_prepared_matvec_matches(monkeypatch):
     out = np.asarray(kkt.make_matvec(K)(v))
     scale = np.abs(ref).max()
     np.testing.assert_allclose(out, ref, atol=1e-12 * scale, rtol=0)
+
+
+@pytest.mark.parametrize("nb,n,cond", [(40, 64, 1e2), (17, 64, 1e8)])
+def test_ozaki_factor_matches(nb, n, cond, monkeypatch):
+    """Ozaki-sliced exact-f64 factor products (Schur gram + inverse
+    substitution on the f32 MXU) must agree with the plain emulated-f64
+    matmuls at f64 grade."""
+    monkeypatch.setenv("IXM_OZAKI_FACTOR", "1")
+    import importlib
+    D = _spd(nb, n, cond)
+    L, X = blocked_chol_linv(jnp.asarray(D))
+    monkeypatch.setenv("IXM_OZAKI_FACTOR", "0")
+    L0, X0 = blocked_chol_linv(jnp.asarray(D))
+    relL = np.max(np.abs(np.asarray(L) - np.asarray(L0))) \
+        / np.max(np.abs(np.asarray(L0)))
+    relX = np.max(np.abs(np.asarray(X) - np.asarray(X0))) \
+        / np.max(np.abs(np.asarray(X0)))
+    # two backward-stable factorizations may differ by ~cond*eps; the
+    # measured gap (6e-13 at cond=1e8) is far inside that
+    assert relL < 1e-13 * max(cond * 1e-4, 1.0), relL
+    assert relX < 1e-10 * max(cond * 1e-6, 1.0), relX
