@@ -186,14 +186,19 @@ def _oz_pair_contract(SA, SB, einstr):
     The pairwise slice products accumulate EXACTLY in f32 (integer slice
     values < 2^9, contraction length <= 128 lanes keeps partial sums
     < 2^24); cross-pair and cross-level sums run on the f64 result --
-    the same truncation (~2^-54 relative) as ``ozaki_bmv``."""
+    the same truncation (~2^-54 relative) as ``ozaki_bmv``.
+
+    The pairs of each level run as ONE stacked einsum (level batch in the
+    leading axis): 21 separate small products would be launch-latency
+    bound on the device, and each is far below MXU saturation anyway."""
+    lhs, rhs = einstr.split("->")
+    a, b = lhs.split(",")
+    bat = f"x{a},x{b}->x{rhs}"
     out = None
     for lvl in range(_OZ_K):
-        acc = None
-        for i in range(lvl + 1):
-            t = jnp.einsum(einstr, SA[i],
-                           SB[lvl - i]).astype(jnp.float64)
-            acc = t if acc is None else acc + t
+        SAl = SA[:lvl + 1]
+        SBl = jnp.flip(SB[:lvl + 1], 0)
+        acc = jnp.einsum(bat, SAl, SBl).astype(jnp.float64).sum(0)
         term = acc * (2.0 ** (-_OZ_W * (lvl + 2)))
         out = term if out is None else out + term
     return out
