@@ -217,6 +217,14 @@ DEFAULTS = dict(
     # once per host chunk (one extra tiny dispatch when enabled).
     recalc_y=False,
     recalc_y_cap=1e3,
+    # "stall" trigger for the same least-squares recalc: fire when the
+    # iterate is primal-feasible (pr <= 1e2*tol) but the dual error is
+    # large (du > 1e4*tol) and the step length is crawling (alpha <=
+    # 0.25) -- the measured pandemic (100,32) signature (pr 7.8e-7,
+    # du ~4.8e2, alpha 1/8, mu frozen: the filter caps the coupled step
+    # while the dual residual, LINEAR in y, could be closed directly by
+    # the minimal-norm fit).  Checked at chunk boundaries.
+    recalc_y_stall=False,
     max_backtracks=40,
     soc=True,                # second-order correction: when the full step
                              # is rejected with growing infeasibility,
@@ -445,6 +453,7 @@ class IpmSolver:
         self._restore_jit = None     # compiled lazily on first breakdown
         self._extract_jit = None     # single-dispatch result extraction
         self._lsq_jit = None         # lazily built for dual_init="lsq"
+        self._du_jit = None          # lazily built for the dual polish
         self._stepw = stepw
         # device-side multi-iteration driver: one host round-trip per chunk
         # (the tunneled-TPU dispatch latency dominates otherwise)
@@ -2026,18 +2035,27 @@ class IpmSolver:
                       f"{float(st.log_alpha_z):6.4f} {int(st.log_ls):3d} "
                       f"{float(st.log_delta_w):7.1e} {float(st.log_rr):7.1e}"
                       f" {float(st.log_E0):7.1e}")
-            if code == RUNNING and o["recalc_y"]:
-                # degenerate-ray dual reset (Ipopt recalc_y role): past
-                # the cap the multipliers are riding a near-null-space
-                # ray; replace them with the minimal-norm stationarity
-                # fit at the current iterate
-                maxy = float(jnp.max(jnp.abs(st.y)))
-                if maxy > o["recalc_y_cap"]:
+            if code == RUNNING and (o["recalc_y"] or o["recalc_y_stall"]):
+                # degenerate-ray dual reset (Ipopt recalc_y role):
+                # replace multipliers riding a near-null-space ray with
+                # the minimal-norm stationarity fit at the current
+                # iterate.  Triggers: |y| past the cap (recalc_y), or
+                # the feasible-but-dual-stalled crawl (recalc_y_stall).
+                tol_h = float(consts["tol"])
+                fire = False
+                if o["recalc_y"]:
+                    maxy = float(jnp.max(jnp.abs(st.y)))
+                    fire = maxy > o["recalc_y_cap"]
+                if not fire and o["recalc_y_stall"]:
+                    fire = (float(st.log_inf_pr) <= 1e2 * tol_h
+                            and float(st.log_inf_du) > 1e4 * tol_h
+                            and float(st.log_alpha) <= 0.25)
+                if fire:
                     y_new = self._ensure_lsq_jit()(st, consts)
                     st = st._replace(y=y_new)
                     if verbose:
-                        print(f"{it:4d}  -- |y|={maxy:.1e} > cap: "
-                              "least-squares dual recalc --")
+                        print(f"{it:4d}  -- least-squares dual recalc "
+                              f"(du={float(st.log_inf_du):.1e}) --")
             if checkpoint_path and checkpoint_every and \
                     it // checkpoint_every != \
                     (it - chunk) // checkpoint_every:
@@ -2074,6 +2092,35 @@ class IpmSolver:
                 if verbose:
                     print(f"{it:4d}  -- limit hit: best iterate restored "
                           f"(E={best_E:.1e}) => acceptable --")
+
+        # final dual polish on degenerate-geometry "acceptable" exits:
+        # one least-squares recalc of the multipliers at the returned
+        # iterate, kept only if the TRUE dual infeasibility improves
+        # (measured pandemic (100,32): restored du 3.0e-2 with obj 33.6
+        # -> stall-recalc trajectory returns du 1.2e-2 at obj 31.16; the
+        # polish makes the minimal-norm certificate unconditional).
+        if status == "acceptable" and (o["recalc_y"] or o["recalc_y_stall"]):
+            if self._du_jit is None:
+                def duw(s, c):
+                    with self.model.bound_tables(
+                            c.get("fam"), c.get("jac_rows"),
+                            c.get("jac_cols")):
+                        grad = self._geval(s.x, c)
+                        jv = self._jvals(s.x, c)
+                        cval = self._ceval(s.x, c)
+                        _, _, idu, _, _, _ = self._kkt_error(
+                            s, c, grad, jv, cval, s.mu)
+                        return idu
+                self._du_jit = jax.jit(duw)
+            y_pol = self._ensure_lsq_jit()(st, consts)
+            st_pol = st._replace(y=y_pol)
+            du_pol = float(self._du_jit(st_pol, consts))
+            if du_pol < float(st.log_inf_du):
+                st = st_pol._replace(
+                    log_inf_du=jnp.asarray(du_pol, m.dtype))
+                if verbose:
+                    print(f"{it:4d}  -- dual polish: du -> "
+                          f"{du_pol:.2e} --")
 
         def to_host(a):
             # multi-host: arrays whose shards span other processes cannot

@@ -284,3 +284,22 @@ def test_opf_static_pglib_anchor():
     assert res.status == "first_order"
     # published value is quoted to 2 decimals (5812.64)
     assert m.objective_value() == pytest.approx(5812.64, abs=0.01)
+
+
+@pytest.mark.slow
+def test_pandemic_stall_recalc_100x32():
+    """Stall-triggered least-squares dual recalc + final polish (round-5):
+    the (100,32) crawl (feasible, du ~4.8e2 frozen, alpha 1/8) must exit
+    "acceptable" with a minimal-norm dual certificate du <= 1e-2 and an
+    objective near the optimum (measured: 31.155 / du 6.4e-3 vs 33.6 /
+    3.0e-2 without the recalc)."""
+    m = pandemic(num_supports=100, num_scenarios=32, elastic_rho=500.0)
+    m.set_transformation_backend(ExaTranscriptionBackend(
+        IpmSolver, linear_solver="auto", tol=1e-6, max_iter=900,
+        dual_init="lsq", recalc_y_stall=True))
+    m.set_silent()
+    res = m.optimize()
+    assert res.status == "acceptable"
+    assert res.primal_feas <= 1e-5
+    assert res.dual_feas <= 1e-2
+    assert m.objective_value() == pytest.approx(31.16, abs=0.2)
