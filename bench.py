@@ -578,12 +578,16 @@ def main():
     # (reproduced on a previously-certified commit -- infra, not code).
     # ir32 is the memory-pressure rung: it assembles K in f32, halving
     # the large per-block buffers -- the right retry when the tunnel
-    # worker dies at scale rather than in a numeric failure.
+    # worker dies at scale rather than in a numeric failure.  On a COLD
+    # cache the 4000-scale step-set compiles exceed any sane stage
+    # timeout (measured r5: mixed AND ir32 both killed mid-compile at
+    # 1200 s, caching nothing), so only one rung is attempted there.
     if CERTIFIED and remaining() > 420:
-        big = ladder("quad", 4000, BIG_TIMEOUT_S, "quad4000",
-                     [("mixed", "mixed", None),
+        rungs4000 = ([("mixed", "mixed", None),
                       ("ir32", "ir32", None),
-                      ("f64", "float64", None)])
+                      ("f64", "float64", None)] if warm_cache
+                     else [("mixed", "mixed", None)])
+        big = ladder("quad", 4000, BIG_TIMEOUT_S, "quad4000", rungs4000)
         if not big and remaining() > 420:
             ladder("quad", 2000, BIG_TIMEOUT_S, "quad2000",
                    [("mixed", "mixed", None),
