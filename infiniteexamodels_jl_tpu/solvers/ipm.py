@@ -218,13 +218,24 @@ DEFAULTS = dict(
     recalc_y=False,
     recalc_y_cap=1e3,
     # "stall" trigger for the same least-squares recalc: fire when the
-    # iterate is primal-feasible (pr <= 1e2*tol) but the dual error is
-    # large (du > 1e4*tol) and the step length is crawling (alpha <=
-    # 0.25) -- the measured pandemic (100,32) signature (pr 7.8e-7,
-    # du ~4.8e2, alpha 1/8, mu frozen: the filter caps the coupled step
+    # iterate is primal-feasible (pr <= 1e2*tol), the dual error is
+    # large (du > 1e4*tol), and the step length is crawling (alpha <=
+    # 0.25) -- the measured pandemic crawl signature (pr 7.8e-7, du
+    # ~4.8e2, alpha 1/8, mu frozen: the filter caps the coupled step
     # while the dual residual, LINEAR in y, could be closed directly by
-    # the minimal-norm fit).  Checked at chunk boundaries.
+    # the minimal-norm fit).  Checked at chunk boundaries; see
+    # recalc_y_obj_gate for the optional objective-direction condition.
     recalc_y_stall=False,
+    # require the objective to have failed to decrease before the stall
+    # recalc may fire.  Measured tradeoff: OFF, (100,32) reaches obj
+    # 31.155 / du 6.4e-3 (the early recalcs pull the duals down while
+    # the iterate parks near the optimum) but (100,128)'s longer
+    # productive crawl is destroyed (obj 76.6 at 3000); ON, (100,128)'s
+    # descent is preserved and accelerated (obj 36.4 at 3000 vs 41.8 at
+    # 6000 with no recalc) but (100,32) loses the early-recalc gain
+    # (obj 33.6 / du 1.1e-2).  Default OFF: the mid-size grids are the
+    # certified surface, and (100,128) does not certify either way yet.
+    recalc_y_obj_gate=False,
     max_backtracks=40,
     soc=True,                # second-order correction: when the full step
                              # is rejected with growing infeasibility,
@@ -1954,6 +1965,7 @@ class IpmSolver:
                   "alpha  alpha_z  ls   dw      rr      E0")
         it = 0
         resto_entries = 0
+        prev_chunk_obj = None      # recalc_y_stall objective-stall gate
         chunk = 1 if verbose else 32
         # "float32": no mu-based handover -- the low-precision path runs
         # until its refinement stops contracting (DEMOTE_F32).  "ir32"
@@ -2047,7 +2059,18 @@ class IpmSolver:
                     maxy = float(jnp.max(jnp.abs(st.y)))
                     fire = maxy > o["recalc_y_cap"]
                 if not fire and o["recalc_y_stall"]:
-                    fire = (float(st.log_inf_pr) <= 1e2 * tol_h
+                    # the terminal crawl CREEPS the objective upward
+                    # (measured (100,32): +2.3e-3/chunk relative) while
+                    # the productive feasible crawl still DESCENDS at a
+                    # similar magnitude -- the separator is the sign of
+                    # the change, not its size
+                    obj_now = float(st.log_obj)
+                    obj_stalled = (prev_chunk_obj is not None
+                                   and obj_now >= prev_chunk_obj
+                                   - 1e-5 * max(1.0, abs(obj_now)))
+                    prev_chunk_obj = obj_now
+                    fire = ((obj_stalled or not o["recalc_y_obj_gate"])
+                            and float(st.log_inf_pr) <= 1e2 * tol_h
                             and float(st.log_inf_du) > 1e4 * tol_h
                             and float(st.log_alpha) <= 0.25)
                 if fire:
