@@ -576,6 +576,14 @@ def main():
     # quad-2000 (also a reference sweep size) is the fallback: the tunnel
     # WORKER was observed to crash on 4000-scale solves for a whole day
     # (reproduced on a previously-certified commit -- infra, not code).
+    # Stage D before C (r5 reorder): the stochastic AC-OPF stage is the
+    # strongest certified ratio (device 6.1 it/s) and runs in minutes
+    # warm, while the quad-4000 first solve has repeatedly eaten the
+    # remaining budget -- bank the sure thing first.
+    if RUN_OPF and CERTIFIED and remaining() > 300:
+        bank(run_sync("opf", 1000, OPF_TIMEOUT_S, fdtype="mixed"),
+             "opf1000_mixed")
+
     # ir32 is the memory-pressure rung: it assembles K in f32, halving
     # the large per-block buffers -- the right retry when the tunnel
     # worker dies at scale rather than in a numeric failure.  On a COLD
@@ -592,12 +600,6 @@ def main():
             ladder("quad", 2000, BIG_TIMEOUT_S, "quad2000",
                    [("mixed", "mixed", None),
                     ("f64", "float64", None)])
-
-    # Stage D -- stochastic AC-OPF on the scenario-sharded KKT (reference
-    # GPU sweep parity, run_cases_gpu.jl:90-92); budget-gated.
-    if RUN_OPF and CERTIFIED and remaining() > 300:
-        bank(run_sync("opf", 1000, OPF_TIMEOUT_S, fdtype="mixed"),
-             "opf1000_mixed")
 
     join_cpu(block=True)
     emit_best()
